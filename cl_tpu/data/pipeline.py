@@ -1,0 +1,167 @@
+"""Host-side input pipeline: batching, seeded shuffling, prefetch to device.
+
+Layer L1 (SURVEY.md §1). The honest host/device split (SURVEY.md §7 hard
+parts): decode-to-uint8 happens on the host (here: synthetic rasterization /
+file decode), while resize→flip→normalize runs on-device, fused into the
+jitted train step (jnp fallback in ``cl_tpu/augment.py``, Pallas kernel in
+``cl_tpu/pallas/augment.py``). Batches cross host→HBM as uint8 — 4× smaller
+than f32 — double-buffered via a background thread + ``jax.device_put``
+(BASELINE.json:5 "double-buffered host→HBM transfers").
+
+Shuffling and flip decisions are seeded and framework-independent (numpy), so
+the torch-CPU parity oracle replays the identical stream (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Iterator, NamedTuple
+
+import numpy as np
+
+from cl_tpu.config import Config
+from cl_tpu.data import synthetic
+from cl_tpu.data import tasks as task_lib
+
+
+class HostBatch(NamedTuple):
+    """One batch as produced on the host (numpy, source resolution)."""
+
+    image: np.ndarray  # uint8 [B, S, S, 3]
+    mask: np.ndarray   # int32 [B, S, S] (remapped labels; 255 ignore)
+    flip: np.ndarray   # bool  [B] horizontal-flip decision
+
+
+def _epoch_order(n: int, *, seed: int, epoch: int, shuffle: bool) -> np.ndarray:
+    if not shuffle:
+        return np.arange(n)
+    rng = np.random.RandomState((seed + 977 * epoch) % (2**31 - 1))
+    return rng.permutation(n)
+
+
+def batches(
+    dataset,
+    *,
+    batch_size: int,
+    epoch: int,
+    seed: int,
+    shuffle: bool,
+    flip_prob: float,
+) -> Iterator[HostBatch]:
+    """Deterministic batch stream for one epoch. Drops the trailing partial
+    batch (static shapes for jit)."""
+    order = _epoch_order(len(dataset), seed=seed, epoch=epoch, shuffle=shuffle)
+    flip_rng = np.random.RandomState((seed + 31 * epoch + 7) % (2**31 - 1))
+    n_full = len(dataset) // batch_size
+    for b in range(n_full):
+        idx = order[b * batch_size:(b + 1) * batch_size]
+        imgs, masks = zip(*(dataset[int(i)] for i in idx))
+        flip = (flip_rng.rand(batch_size) < flip_prob) if flip_prob > 0 else \
+            np.zeros(batch_size, dtype=bool)
+        yield HostBatch(
+            image=np.stack(imgs),
+            mask=np.stack(masks).astype(np.int32),
+            flip=flip.astype(bool),
+        )
+
+
+def make_datasets(cfg: Config, task_id: int):
+    """(train_ds, val_ds) for one task. val is remapped to the same task's
+    class set; cross-task eval uses each task's own val set (SURVEY.md §3.1)."""
+    splits = cfg.classes_per_task
+    task_classes = splits[task_id]
+    d = cfg.data
+    if d.dataset == "synthetic":
+        train_ds = synthetic.SyntheticSegDataset(
+            num_images=d.train_images_per_task, size=d.source_size,
+            task_classes=task_classes, seed=d.shuffle_seed + task_id,
+            split="train")
+        val_ds = synthetic.SyntheticSegDataset(
+            num_images=d.val_images_per_task, size=d.source_size,
+            task_classes=task_classes, seed=d.shuffle_seed + task_id,
+            split="val")
+        return train_ds, val_ds
+    if d.dataset in ("voc_dir", "cityscapes_dir"):
+        from cl_tpu.data import directory
+        return directory.make_datasets(cfg, task_id)
+    raise ValueError(f"unknown dataset {d.dataset!r}")
+
+
+def train_batches(cfg: Config, task_id: int, epoch: int) -> Iterator[HostBatch]:
+    train_ds, _ = make_datasets(cfg, task_id)
+    return batches(train_ds, batch_size=cfg.data.batch_size, epoch=epoch,
+                   seed=cfg.data.shuffle_seed + 1000 * task_id, shuffle=True,
+                   flip_prob=cfg.data.flip_prob)
+
+
+def val_batches(cfg: Config, task_id: int) -> Iterator[HostBatch]:
+    _, val_ds = make_datasets(cfg, task_id)
+    return batches(val_ds, batch_size=cfg.data.batch_size, epoch=0,
+                   seed=cfg.data.shuffle_seed + 1000 * task_id, shuffle=False,
+                   flip_prob=0.0)
+
+
+# ---------------------------------------------------------------------------
+# Device prefetch (double buffering)
+# ---------------------------------------------------------------------------
+
+_SENTINEL = object()
+
+
+def prefetch_to_device(
+    it: Iterator[Any],
+    *,
+    depth: int = 2,
+    sharding=None,
+) -> Iterator[Any]:
+    """Asynchronously ``device_put`` up to ``depth`` batches ahead.
+
+    With ``sharding`` a ``jax.sharding.NamedSharding`` over the data axis,
+    the uint8 batch lands directly in each chip's HBM shard; transfers
+    overlap the previous step's compute (the double-buffer requirement,
+    BASELINE.json:5). Falls back to synchronous iteration for depth<=0.
+    """
+    import jax
+
+    if depth <= 0:
+        for item in it:
+            yield jax.device_put(item, sharding) if sharding is not None \
+                else jax.device_put(item)
+        return
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    err: list[BaseException] = []
+
+    def producer():
+        try:
+            for item in it:
+                put = jax.device_put(item, sharding) if sharding is not None \
+                    else jax.device_put(item)
+                q.put(put)
+        except BaseException as e:  # surfaced in consumer
+            err.append(e)
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+def replay_mix(batch: HostBatch, replay_samples: HostBatch | None) -> HostBatch:
+    """Concatenate a replay sub-batch onto a host batch (L3 replay hook,
+    SURVEY.md §3.1 "batch = replay.mix(batch)")."""
+    if replay_samples is None:
+        return batch
+    return HostBatch(
+        image=np.concatenate([batch.image, replay_samples.image]),
+        mask=np.concatenate([batch.mask, replay_samples.mask]),
+        flip=np.concatenate([batch.flip, replay_samples.flip]),
+    )

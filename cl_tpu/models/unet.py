@@ -1,0 +1,110 @@
+"""UNet encoder-decoder in Flax linen — NHWC, bf16-capable.
+
+Capability contract: SURVEY.md §2.1 "UNet" and §3.2 — 4-level encoder
+(each level 2×[conv3×3 + BN + ReLU] then maxpool-2), bottleneck, 4-level
+decoder (transposed-conv stride 2 → concat skip → double conv), 1×1 head.
+Base width 32 ("UNet-small") or 64, doubling per level (BASELINE.json:5,7-8).
+
+TPU-first notes:
+  * NHWC layout end-to-end — the layout XLA:TPU tiles onto the MXU without
+    transposes.
+  * ``dtype`` is the compute/activation dtype (bf16 for config 5);
+    ``param_dtype`` stays f32 — optimizer state, Fisher, and BN statistics
+    must be f32 (SURVEY.md §7 "Fisher in bf16").
+  * The 1×1 head is width ``num_classes`` = the FULL global label space
+    ("padded head", SURVEY.md §7): class-incremental validity is enforced by
+    logit masking in the loss, not by reshaping the head, so the train step
+    compiles exactly once across all tasks. ``head_width`` overrides this for
+    the grow-the-head variant (recompiles per task, parity with the
+    reference's expand-head behavior — SURVEY.md §3.1).
+  * BatchNorm statistics: momentum 0.9 / eps 1e-5 — the torch-CPU oracle's
+    defaults (``reference_impl/unet.py``), required for train-mode parity.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class DoubleConv(nn.Module):
+    """(conv3x3 → norm → ReLU) × 2."""
+
+    features: int
+    norm: str = "batch"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        for i in range(2):
+            x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name=f"conv{i}")(x)
+            if self.norm == "batch":
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name=f"bn{i}")(x)
+            elif self.norm == "group":
+                x = nn.GroupNorm(num_groups=min(8, self.features),
+                                 dtype=self.dtype, param_dtype=jnp.float32,
+                                 name=f"gn{i}")(x)
+            x = nn.relu(x)
+        return x
+
+
+class UNet(nn.Module):
+    """UNet(x: [B, H, W, 3]) -> logits [B, H, W, num_classes] (f32)."""
+
+    num_classes: int
+    base_channels: int = 32
+    depth: int = 4
+    norm: str = "batch"
+    dtype: Any = jnp.float32
+    head_width: int | None = None  # None => num_classes (padded head)
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        c = self.base_channels
+        x = x.astype(self.dtype)
+
+        skips = []
+        for level in range(self.depth):
+            x = DoubleConv(c * (2 ** level), norm=self.norm, dtype=self.dtype,
+                           name=f"enc{level}")(x, train=train)
+            skips.append(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+
+        x = DoubleConv(c * (2 ** self.depth), norm=self.norm, dtype=self.dtype,
+                       name="bottleneck")(x, train=train)
+
+        for level in reversed(range(self.depth)):
+            feats = c * (2 ** level)
+            # k=2 / s=2 transposed conv: clean 2× upsample, no overlap
+            # (SURVEY.md §7 "ConvTranspose parity").
+            x = nn.ConvTranspose(feats, (2, 2), strides=(2, 2),
+                                 padding="VALID", use_bias=True,
+                                 dtype=self.dtype, param_dtype=jnp.float32,
+                                 name=f"up{level}")(x)
+            x = jnp.concatenate([skips[level], x], axis=-1)
+            x = DoubleConv(feats, norm=self.norm, dtype=self.dtype,
+                           name=f"dec{level}")(x, train=train)
+
+        width = self.head_width or self.num_classes
+        logits = nn.Conv(width, (1, 1), dtype=self.dtype,
+                         param_dtype=jnp.float32, name="head")(x)
+        # Loss/eval arithmetic is f32 regardless of compute dtype
+        # (SURVEY.md §6 determinism, §7 bf16 notes).
+        return logits.astype(jnp.float32)
+
+
+def init_variables(model: UNet, rng: jax.Array, image_size: int,
+                   batch_size: int = 1):
+    x = jnp.zeros((batch_size, image_size, image_size, 3), jnp.float32)
+    return model.init(rng, x, train=False)
+
+
+def param_count(params) -> int:
+    return sum(p.size for p in jax.tree.leaves(params))

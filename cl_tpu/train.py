@@ -1,0 +1,417 @@
+"""L4 — training driver: Python task loop, ONE jitted XLA program per step.
+
+Reference behavior (SURVEY.md §3.1): per-task outer loop; inner epoch loop of
+forward → CE + method penalty → backward → optimizer step; eval over all seen
+tasks; after-task hooks (Fisher pass / model snapshot / buffer fill); per-task
+checkpoint.
+
+TPU-native design:
+  * The entire per-batch body — device-side augmentation, forward, CE + EWC
+    penalty + LwF distillation, backward, optimizer update — is one jitted
+    XLA program ("loss computation and optimizer step all run on-device",
+    BASELINE.json:5). With the padded head + constant replay-widened batch,
+    it compiles exactly ONCE for the whole T-task run.
+  * Data parallelism: batch input carries a NamedSharding over the 1-D mesh;
+    state is replicated; the SPMD partitioner inserts the gradient
+    all-reduce over ICI (SURVEY.md §2.3 DP row).
+  * Host→HBM: uint8 batches, double-buffered (pipeline.prefetch_to_device).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from cl_tpu import augment as augment_lib
+from cl_tpu import losses, metrics, sharding
+from cl_tpu.config import Config
+from cl_tpu.data import pipeline
+from cl_tpu.data import tasks as task_lib
+from cl_tpu.methods import ewc as ewc_lib
+from cl_tpu.methods import lwf as lwf_lib
+from cl_tpu.methods.replay import ReplayBuffer
+from cl_tpu.models.unet import UNet
+
+
+class TrainState(struct.PyTreeNode):
+    """Full train-state pytree: checkpointed as-is (SURVEY.md §3.5)."""
+
+    step: jax.Array
+    params: Any
+    model_state: Any  # batch_stats etc. ({} for norm != batch)
+    opt_state: Any
+    ewc: Any   # EWCState or None (structure fixed per config)
+    lwf: Any   # LwFState or None
+    rng: jax.Array
+
+
+def _dtype(cfg: Config):
+    return jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
+
+
+def build_model(cfg: Config) -> UNet:
+    return UNet(num_classes=cfg.data.num_classes,
+                base_channels=cfg.model.base_channels,
+                depth=cfg.model.depth, norm=cfg.model.norm,
+                dtype=_dtype(cfg))
+
+
+def build_optimizer(cfg: Config) -> optax.GradientTransformation:
+    t = cfg.train
+    if t.optimizer == "adam":
+        tx = optax.adam(t.lr)
+    elif t.optimizer == "sgd":
+        tx = optax.sgd(t.lr, momentum=t.momentum)
+    else:
+        raise ValueError(f"unknown optimizer {t.optimizer!r}")
+    if t.weight_decay:
+        tx = optax.chain(optax.add_decayed_weights(t.weight_decay), tx)
+    return tx
+
+
+def init_state(cfg: Config, model: UNet, tx) -> TrainState:
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    init_rng, state_rng = jax.random.split(rng)
+    x = jnp.zeros((1, cfg.data.image_size, cfg.data.image_size, 3),
+                  jnp.float32)
+    variables = model.init(init_rng, x, train=False)
+    params = variables["params"]
+    model_state = {k: v for k, v in variables.items() if k != "params"}
+    m = cfg.method
+    ewc_state = None
+    if "ewc" in m.methods:
+        ewc_state = ewc_lib.make_ewc_state(
+            params, mode=m.ewc_mode,
+            max_tasks=max(cfg.train.num_tasks - 1, 1))
+    lwf_state = None
+    if "lwf" in m.methods:
+        lwf_state = lwf_lib.make_lwf_state(variables, cfg.data.num_classes)
+    return TrainState(step=jnp.int32(0), params=params,
+                      model_state=model_state, opt_state=tx.init(params),
+                      ewc=ewc_state, lwf=lwf_state, rng=state_rng)
+
+
+# ---------------------------------------------------------------------------
+# The single jitted train step
+# ---------------------------------------------------------------------------
+
+
+def make_train_step(cfg: Config, model: UNet, tx,
+                    mesh=None) -> Callable:
+    m = cfg.method
+    use_ewc = "ewc" in m.methods
+    use_lwf = "lwf" in m.methods
+    use_pallas = cfg.train.use_pallas
+    compute_dtype = _dtype(cfg)
+    d = cfg.data
+
+    def apply_train(params, model_state, x):
+        mutable = list(model_state.keys())
+        if mutable:
+            logits, new_ms = model.apply(
+                {"params": params, **model_state}, x, train=True,
+                mutable=mutable)
+            return logits, new_ms
+        return model.apply({"params": params}, x, train=True), {}
+
+    def step(state: TrainState, batch: pipeline.HostBatch,
+             valid_classes: jax.Array):
+        if use_pallas:
+            from cl_tpu.pallas import augment as augment_pallas
+            x, y = augment_pallas.augment(
+                batch.image, batch.mask, batch.flip, out_size=d.image_size,
+                mean=d.mean, std=d.std, compute_dtype=compute_dtype)
+        else:
+            x, y = augment_lib.augment_jnp(
+                batch.image, batch.mask, batch.flip, out_size=d.image_size,
+                mean=d.mean, std=d.std, compute_dtype=compute_dtype)
+
+        old = None
+        if use_lwf:
+            old = lwf_lib.old_logits(model.apply, state.lwf, x)
+
+        def loss_fn(params):
+            logits, new_ms = apply_train(params, state.model_state, x)
+            ce, n_pix = losses.cross_entropy(
+                logits, y, valid_classes, ignore_index=d.ignore_index)
+            total = ce
+            aux = {"ce": ce, "n_pix": n_pix}
+            if use_ewc:
+                if use_pallas:
+                    from cl_tpu.pallas import ewc_fused
+                    pen = ewc_fused.penalty(params, state.ewc,
+                                            mode=m.ewc_mode)
+                else:
+                    pen = ewc_lib.penalty(params, state.ewc, mode=m.ewc_mode)
+                total = total + m.ewc_lambda * pen
+                aux["ewc_penalty"] = pen
+            if use_lwf:
+                kd = lwf_lib.distill_loss(
+                    logits, old, state.lwf, y,
+                    temperature=m.lwf_temperature, use_pallas=use_pallas,
+                    ignore_index=d.ignore_index)
+                total = total + m.lwf_alpha * kd
+                aux["kd"] = kd
+            aux["loss"] = total
+            return total, (aux, new_ms)
+
+        grads, (aux, new_ms) = jax.grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  model_state=new_ms, opt_state=new_opt)
+        return new_state, aux
+
+    if mesh is not None:
+        bspec = sharding.batch_sharding(mesh)
+        rspec = sharding.replicated(mesh)
+        batch_shardings = pipeline.HostBatch(bspec, bspec, bspec)
+        # rspec is a pytree-prefix: the whole state is replicated; grads
+        # all-reduce over ICI is inserted by the SPMD partitioner.
+        return jax.jit(
+            step,
+            in_shardings=(rspec, batch_shardings, rspec),
+            out_shardings=(rspec, rspec),
+            donate_argnums=(0,),
+        )
+    return jax.jit(step, donate_argnums=(0,))
+
+
+# ---------------------------------------------------------------------------
+# Eval
+# ---------------------------------------------------------------------------
+
+
+def make_eval_step(cfg: Config, model: UNet, mesh=None) -> Callable:
+    d = cfg.data
+    compute_dtype = _dtype(cfg)
+
+    def step(conf, params, model_state, batch, valid_classes):
+        x, y = augment_lib.augment_jnp(
+            batch.image, batch.mask, batch.flip, out_size=d.image_size,
+            mean=d.mean, std=d.std, compute_dtype=compute_dtype)
+        logits = model.apply({"params": params, **model_state}, x,
+                             train=False)
+        return metrics.confusion_matrix_update(
+            conf, logits, y, valid_classes, ignore_index=d.ignore_index)
+
+    if mesh is not None:
+        bspec = sharding.batch_sharding(mesh)
+        rspec = sharding.replicated(mesh)
+        batch_shardings = pipeline.HostBatch(bspec, bspec, bspec)
+        return jax.jit(step, in_shardings=(
+            rspec, None, None, batch_shardings, rspec))
+    return jax.jit(step)
+
+
+def evaluate_task(cfg: Config, eval_step, state: TrainState, task_id: int,
+                  seen_valid: np.ndarray, mesh=None) -> dict:
+    """mIoU of ``task_id``'s val set, predicting among all seen classes
+    (standard class-incremental eval; mirrored by the torch oracle)."""
+    C = cfg.data.num_classes
+    conf = jnp.zeros((C, C), jnp.float32)
+    valid = jnp.asarray(seen_valid)
+    it = pipeline.val_batches(cfg, task_id)
+    bs = sharding.batch_sharding(mesh) if mesh is not None else None
+    for batch in pipeline.prefetch_to_device(
+            it, depth=cfg.data.prefetch_depth, sharding=bs):
+        conf = eval_step(conf, state.params, state.model_state, batch, valid)
+    conf_np = np.asarray(jax.device_get(conf))
+    task_classes = [task_lib.BACKGROUND] + cfg.classes_per_task[task_id]
+    return {
+        "confusion": conf_np,
+        "miou": metrics.miou(conf_np, task_classes),
+        "per_class_iou": metrics.iou_from_confusion(conf_np).tolist(),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Fisher pass (EWC after-task, SURVEY.md §3.3)
+# ---------------------------------------------------------------------------
+
+
+def make_fisher_step(cfg: Config, model: UNet, mesh=None) -> Callable:
+    m = cfg.method
+    d = cfg.data
+
+    def step(fisher_acc, params, model_state, batch, valid_classes, rng):
+        x, y = augment_lib.augment_jnp(
+            batch.image, batch.mask, batch.flip, out_size=d.image_size,
+            mean=d.mean, std=d.std, compute_dtype=_dtype(cfg))
+        sq = ewc_lib.fisher_batch_grads(
+            model.apply, params, model_state, x, y, valid_classes,
+            kind=m.ewc_fisher_kind, rng=rng, ignore_index=d.ignore_index)
+        return jax.tree.map(lambda a, s: a + s, fisher_acc, sq)
+
+    if mesh is not None:
+        bspec = sharding.batch_sharding(mesh)
+        rspec = sharding.replicated(mesh)
+        batch_shardings = pipeline.HostBatch(bspec, bspec, bspec)
+        return jax.jit(step, in_shardings=(
+            None, None, None, batch_shardings, rspec, None))
+    return jax.jit(step)
+
+
+def run_fisher_pass(cfg: Config, fisher_step, state: TrainState,
+                    task_id: int, seen_valid: np.ndarray, mesh=None):
+    """Average squared grads over up to ``ewc_fisher_batches`` batches."""
+    acc = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), state.params)
+    valid = jnp.asarray(seen_valid)
+    rng = jax.random.fold_in(state.rng, 1000 + task_id)
+    n = 0
+    bs = sharding.batch_sharding(mesh) if mesh is not None else None
+    it = pipeline.train_batches(cfg, task_id, epoch=10_000 + task_id)
+    for batch in pipeline.prefetch_to_device(
+            it, depth=cfg.data.prefetch_depth, sharding=bs):
+        if n >= cfg.method.ewc_fisher_batches:
+            break
+        rng, sub = jax.random.split(rng)
+        acc = fisher_step(acc, state.params, state.model_state, batch,
+                          valid, sub)
+        n += 1
+    n = max(n, 1)
+    return jax.tree.map(lambda a: a / n, acc)
+
+
+# ---------------------------------------------------------------------------
+# Full continual run
+# ---------------------------------------------------------------------------
+
+
+def train(cfg: Config) -> dict:
+    """The public train API (SURVEY.md §1 L4: ``train(cfg) -> results``)."""
+    from cl_tpu import checkpoint as ckpt_lib
+    from cl_tpu.logging_utils import EventLogger
+
+    logger = EventLogger(cfg.train.log_path)
+    mesh = None
+    if cfg.train.data_parallel and len(jax.devices()) > 1:
+        mesh = sharding.make_mesh()
+        sharding.check_divisible(cfg.data.batch_size, mesh)
+
+    model = build_model(cfg)
+    tx = build_optimizer(cfg)
+    state = init_state(cfg, model, tx)
+    train_step = make_train_step(cfg, model, tx, mesh=mesh)
+    eval_step = make_eval_step(cfg, model, mesh=mesh)
+    fisher_step = make_fisher_step(cfg, model, mesh=mesh) \
+        if "ewc" in cfg.method.methods else None
+
+    splits = cfg.classes_per_task
+    T = cfg.train.num_tasks
+    use_replay = "replay" in cfg.method.methods
+    replay = ReplayBuffer(cfg.method.replay_capacity,
+                          seed=cfg.data.shuffle_seed + 999) \
+        if use_replay else None
+
+    miou_matrix = np.full((T, T), np.nan)
+    start_task = 0
+    if cfg.train.resume and cfg.train.checkpoint_dir:
+        restored = ckpt_lib.restore_latest(cfg, state, replay)
+        if restored is not None:
+            state, replay, last_task, miou_matrix = restored
+            start_task = last_task + 1
+            logger.log(event="resumed", task=last_task)
+
+    bs = sharding.batch_sharding(mesh) if mesh is not None else None
+    step_times: list[float] = []
+
+    for task_id in range(start_task, T):
+        seen = task_lib.seen_classes(splits, task_id)
+        seen_valid = task_lib.valid_class_mask(cfg.data.num_classes, seen)
+        valid_dev = jnp.asarray(seen_valid)
+        t_task = time.perf_counter()
+
+        for epoch in range(cfg.train.epochs_per_task):
+            host_it = pipeline.train_batches(cfg, task_id, epoch)
+            if use_replay:
+                k = cfg.method.replay_batch
+
+                def mixed(it=host_it):
+                    for b in it:
+                        rb = replay.sample_or_current(
+                            k, b, flip_prob=cfg.data.flip_prob)
+                        yield pipeline.replay_mix(b, rb)
+                host_it = mixed()
+            # Loss values stay on device during the epoch — fetching them
+            # per step would sync the pipeline and stall the double buffer.
+            losses_dev, n_steps = [], 0
+            for batch in pipeline.prefetch_to_device(
+                    host_it, depth=cfg.data.prefetch_depth, sharding=bs):
+                t0 = time.perf_counter()
+                state, aux = train_step(state, batch, valid_dev)
+                if cfg.train.bench_steps:
+                    jax.block_until_ready(state.params)
+                    step_times.append(time.perf_counter() - t0)
+                losses_dev.append(aux["loss"])
+                n_steps += 1
+            ep_loss = float(np.mean(jax.device_get(losses_dev))) \
+                if losses_dev else 0.0
+            logger.log(event="epoch", task=task_id, epoch=epoch,
+                       loss=ep_loss, steps=n_steps)
+
+        # ---- eval over all seen tasks (SURVEY.md §3.1) ----
+        for k in range(task_id + 1):
+            res = evaluate_task(cfg, eval_step, state, k, seen_valid,
+                                mesh=mesh)
+            miou_matrix[task_id, k] = res["miou"]
+            logger.log(event="eval", after_task=task_id, task=k,
+                       miou=res["miou"])
+
+        # ---- after-task hooks (SURVEY.md §3.1) ----
+        if fisher_step is not None and task_id < T - 1:
+            fisher_new = run_fisher_pass(cfg, fisher_step, state, task_id,
+                                         seen_valid, mesh=mesh)
+            state = state.replace(ewc=ewc_lib.ewc_after_task(
+                state.ewc, state.params, fisher_new,
+                mode=cfg.method.ewc_mode, gamma=cfg.method.ewc_gamma,
+                task_id=task_id))
+        if state.lwf is not None and task_id < T - 1:
+            state = state.replace(lwf=lwf_lib.lwf_after_task(
+                state.lwf, {"params": state.params, **state.model_state},
+                valid_dev))
+        if use_replay:
+            train_ds, _ = pipeline.make_datasets(cfg, task_id)
+            per_task = max(1, cfg.method.replay_capacity // T)
+            replay.add_examples(train_ds, per_task, task_id=task_id)
+
+        if cfg.train.checkpoint_dir:
+            ckpt_lib.save_task(cfg, state, replay, task_id, miou_matrix)
+        logger.log(event="task_done", task=task_id,
+                   seconds=time.perf_counter() - t_task)
+
+        if cfg.train.fail_after_task == task_id:
+            raise RuntimeError(
+                f"fault injection: fail_after_task={task_id}")
+
+    report = metrics.forgetting_report(miou_matrix)
+    report["config_hash"] = cfg.config_hash()
+    if step_times:
+        st = np.asarray(step_times[10:110] if len(step_times) > 20
+                        else step_times)
+        n_dev = mesh.devices.size if mesh is not None else 1
+        gb = cfg.data.batch_size + (
+            cfg.method.replay_batch if use_replay else 0)
+        report["images_per_sec_per_chip"] = float(
+            gb / np.median(st) / n_dev)
+    logger.log(event="done", **{k: v for k, v in report.items()
+                                if k != "miou_matrix"})
+    return report
+
+
+def evaluate(cfg: Config, state: TrainState, task_id: int,
+             seen_task: int | None = None) -> dict:
+    """Public eval API (SURVEY.md §1 L4: ``evaluate(model, loader, task)``)."""
+    model = build_model(cfg)
+    eval_step = make_eval_step(cfg, model)
+    seen_task = task_id if seen_task is None else seen_task
+    seen = task_lib.seen_classes(cfg.classes_per_task, seen_task)
+    seen_valid = task_lib.valid_class_mask(cfg.data.num_classes, seen)
+    return evaluate_task(cfg, eval_step, state, task_id, seen_valid)
