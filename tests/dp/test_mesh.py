@@ -1,0 +1,69 @@
+"""Data-parallel correctness on the 8-virtual-CPU-device mesh (SURVEY.md
+§4.3): a sharded train step must produce the same update as single-device."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cl_tpu import sharding, train as train_lib
+from cl_tpu.config import get_preset
+from cl_tpu.data import pipeline, tasks as task_lib
+
+
+def _cfg():
+    cfg = get_preset("smoke")
+    # SGD: the update is lr·grad, so the comparison below directly measures
+    # the sharded all-reduce against the single-device grad (Adam would
+    # amplify ~1e-7 reduction-order noise through 1/sqrt(v)).
+    return cfg.replace(train=dataclasses.replace(
+        cfg.train, data_parallel=True, optimizer="sgd", lr=0.1))
+
+
+def _first_batch(cfg):
+    b = next(iter(pipeline.train_batches(cfg, 0, epoch=0)))
+    return pipeline.HostBatch(jnp.asarray(b.image), jnp.asarray(b.mask),
+                              jnp.asarray(b.flip))
+
+
+def test_sharded_step_matches_single_device(eight_devices):
+    cfg = _cfg()
+    model = train_lib.build_model(cfg)
+    tx = train_lib.build_optimizer(cfg)
+    state0 = train_lib.init_state(cfg, model, tx)
+    valid = jnp.asarray(task_lib.valid_class_mask(
+        cfg.data.num_classes, task_lib.seen_classes(cfg.classes_per_task, 0)))
+    batch = _first_batch(cfg)
+
+    mesh = sharding.make_mesh(eight_devices[:4])
+    step_m = train_lib.make_train_step(cfg, model, tx, mesh=mesh)
+    step_1 = train_lib.make_train_step(cfg, model, tx, mesh=None)
+
+    sm, am = step_m(state0, batch, valid)
+    state0b = train_lib.init_state(cfg, model, tx)  # state0 was donated
+    s1, a1 = step_1(state0b, batch, valid)
+
+    np.testing.assert_allclose(float(am["loss"]), float(a1["loss"]),
+                               rtol=1e-5)
+    # Reduction order differs between the sharded all-reduce and the
+    # single-device sum — bit-exactness is not expected, closeness is.
+    for pm, p1 in zip(jax.tree.leaves(sm.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(pm), np.asarray(p1), atol=1e-3)
+
+
+def test_batch_sharding_places_shards(eight_devices):
+    mesh = sharding.make_mesh(eight_devices)
+    spec = sharding.batch_sharding(mesh)
+    x = jax.device_put(jnp.zeros((16, 4, 4, 3)), spec)
+    assert len(x.addressable_shards) == 8
+    assert x.addressable_shards[0].data.shape[0] == 2
+
+
+def test_check_divisible():
+    import pytest
+
+    mesh = sharding.make_mesh(jax.devices()[:4])
+    sharding.check_divisible(8, mesh)
+    with pytest.raises(ValueError):
+        sharding.check_divisible(6, mesh)

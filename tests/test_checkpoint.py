@@ -1,0 +1,48 @@
+"""Checkpoint/resume trajectory equivalence + fault injection (SURVEY.md
+§4.4, §5.3-5.4). The resumed run must reproduce the uninterrupted run's
+remaining-task mIoU exactly."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from cl_tpu.config import parse_overrides
+from cl_tpu.train import train
+
+
+def _args(tmpdir, extra=()):
+    return ["preset=smoke", "data.num_classes=5", "train.num_tasks=2",
+            "method.methods=ewc,lwf,replay",
+            f"train.checkpoint_dir={tmpdir}", "train.epochs_per_task=1",
+            "data.train_images_per_task=8", "train.data_parallel=false",
+            *extra]
+
+
+@pytest.mark.slow
+def test_fault_injection_and_resume_trajectory(tmp_path):
+    base = str(tmp_path / "ckpt")
+    uninterrupted = train(parse_overrides(_args(base + "_full")))
+
+    with pytest.raises(RuntimeError, match="fault injection"):
+        train(parse_overrides(_args(base, ["train.fail_after_task=0"])))
+    resumed = train(parse_overrides(_args(base, ["train.resume=true"])))
+
+    np.testing.assert_allclose(resumed["final_per_task_miou"],
+                               uninterrupted["final_per_task_miou"],
+                               atol=1e-12)
+
+
+def test_refuses_cross_config_resume(tmp_path):
+    from cl_tpu import checkpoint as ckpt_lib
+
+    d = str(tmp_path / "ckpt")
+    cfg = parse_overrides(_args(d))
+    with pytest.raises(RuntimeError, match="fault injection"):
+        train(parse_overrides(_args(d, ["train.fail_after_task=0"])))
+    other = parse_overrides(_args(d, ["train.lr=0.9", "train.resume=true"]))
+    from cl_tpu.train import build_model, build_optimizer, init_state
+    model = build_model(other)
+    state = init_state(other, model, build_optimizer(other))
+    with pytest.raises(ValueError, match="config hash"):
+        ckpt_lib.restore_latest(other, state, None)

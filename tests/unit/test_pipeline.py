@@ -1,0 +1,81 @@
+import numpy as np
+
+from cl_tpu.config import get_preset
+from cl_tpu.data import pipeline
+from cl_tpu.data.synthetic import SyntheticSegDataset
+
+
+def _collect(it):
+    return list(it)
+
+
+def test_batch_stream_deterministic():
+    cfg = get_preset("smoke")
+    a = _collect(pipeline.train_batches(cfg, 0, epoch=0))
+    b = _collect(pipeline.train_batches(cfg, 0, epoch=0))
+    assert len(a) == len(b) > 0
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x.image, y.image)
+        np.testing.assert_array_equal(x.flip, y.flip)
+
+
+def test_epochs_differ():
+    cfg = get_preset("smoke")
+    a = _collect(pipeline.train_batches(cfg, 0, epoch=0))
+    b = _collect(pipeline.train_batches(cfg, 0, epoch=1))
+    assert not all(np.array_equal(x.image, y.image) for x, y in zip(a, b))
+
+
+def test_drops_trailing_partial_batch():
+    ds = SyntheticSegDataset(num_images=10, size=16, task_classes=[1], seed=0)
+    got = _collect(pipeline.batches(ds, batch_size=4, epoch=0, seed=0,
+                                    shuffle=False, flip_prob=0.0))
+    assert len(got) == 2 and all(b.image.shape[0] == 4 for b in got)
+
+
+def test_val_batches_unshuffled_unflipped():
+    cfg = get_preset("smoke")
+    a = _collect(pipeline.val_batches(cfg, 0))
+    assert all(not b.flip.any() for b in a)
+    b = _collect(pipeline.val_batches(cfg, 0))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x.image, y.image)
+
+
+def test_prefetch_preserves_order_and_values(eight_devices):
+    import jax
+
+    cfg = get_preset("smoke")
+    host = _collect(pipeline.train_batches(cfg, 0, epoch=0))
+    dev = list(pipeline.prefetch_to_device(iter(host), depth=2))
+    assert len(dev) == len(host)
+    for h, d in zip(host, dev):
+        np.testing.assert_array_equal(h.image, np.asarray(d.image))
+
+
+def test_prefetch_propagates_producer_error():
+    import pytest
+
+    def bad():
+        yield from ()
+        raise RuntimeError("boom")
+
+    def gen():
+        from cl_tpu.data.pipeline import HostBatch
+        yield HostBatch(np.zeros((1, 4, 4, 3), np.uint8),
+                        np.zeros((1, 4, 4), np.int32), np.zeros(1, bool))
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        list(pipeline.prefetch_to_device(gen(), depth=2))
+
+
+def test_replay_mix_concatenates():
+    from cl_tpu.data.pipeline import HostBatch, replay_mix
+
+    b = HostBatch(np.zeros((4, 8, 8, 3), np.uint8),
+                  np.zeros((4, 8, 8), np.int32), np.zeros(4, bool))
+    r = HostBatch(np.ones((2, 8, 8, 3), np.uint8),
+                  np.ones((2, 8, 8), np.int32), np.ones(2, bool))
+    m = replay_mix(b, r)
+    assert m.image.shape[0] == 6 and m.flip[-1]
