@@ -1,0 +1,117 @@
+"""Pallas kernels vs pure-jnp oracles, interpret mode on CPU (SURVEY.md
+§4.1: every kernel has an exact oracle test)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cl_tpu import losses
+from cl_tpu.methods import ewc as ewc_lib
+from cl_tpu.pallas import ewc_fused, kd_loss as kd_pallas
+
+
+def _params(seed=0, sizes=((64,), (33, 7), (128, 128), (5,))):
+    rng = np.random.RandomState(seed)
+    return {f"p{i}": jnp.asarray(rng.randn(*s).astype(np.float32))
+            for i, s in enumerate(sizes)}
+
+
+def test_ewc_penalty_matches_treemap_online():
+    params = _params(0)
+    anchor = _params(1)
+    fisher = jax.tree.map(lambda p: jnp.abs(p), _params(2))
+    state = ewc_lib.EWCState(anchor=anchor, fisher=fisher,
+                             weight=jnp.float32(1.0), n_tasks=jnp.int32(1))
+    ref = ewc_lib.penalty(params, state, mode="online")
+    got = ewc_fused.penalty(params, state, mode="online")
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-6)
+
+
+def test_ewc_penalty_matches_treemap_separate():
+    params = _params(0)
+    T = 3
+
+    def stack(seed):
+        rng = np.random.RandomState(seed)
+        return jax.tree.map(
+            lambda p: jnp.asarray(
+                rng.randn(T, *p.shape).astype(np.float32)), params)
+
+    state = ewc_lib.EWCState(anchor=stack(1),
+                             fisher=jax.tree.map(jnp.abs, stack(2)),
+                             weight=jnp.float32(1.0), n_tasks=jnp.int32(T))
+    ref = ewc_lib.penalty(params, state, mode="separate")
+    got = ewc_fused.penalty(params, state, mode="separate")
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
+def test_ewc_penalty_gradient_matches():
+    params = _params(0)
+    anchor = _params(1)
+    fisher = jax.tree.map(jnp.abs, _params(2))
+    state = ewc_lib.EWCState(anchor=anchor, fisher=fisher,
+                             weight=jnp.float32(1.0), n_tasks=jnp.int32(1))
+    g_ref = jax.grad(lambda p: ewc_lib.penalty(p, state, mode="online"))(
+        params)
+    g_got = jax.grad(lambda p: ewc_fused.penalty(p, state, mode="online"))(
+        params)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
+
+
+def test_sq_accumulate_matches_treemap():
+    acc = jax.tree.map(jnp.zeros_like, _params(0))
+    grads = _params(3)
+    ref = jax.tree.map(lambda a, g: a + g * g, acc, grads)
+    got = ewc_fused.sq_accumulate(acc, grads)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-6)
+
+
+def _kd_fixture(seed=0, b=2, h=8, w=8, c=5):
+    rng = np.random.RandomState(seed)
+    new = rng.randn(b, h, w, c).astype(np.float32)
+    old = rng.randn(b, h, w, c).astype(np.float32)
+    labels = rng.randint(0, c, size=(b, h, w)).astype(np.int32)
+    labels[0, 0, :3] = 255
+    valid = np.array([True, True, True, False, False])
+    return (jnp.asarray(new), jnp.asarray(old), jnp.asarray(valid),
+            jnp.asarray(labels))
+
+
+def test_kd_loss_matches_jnp():
+    new, old, valid, labels = _kd_fixture()
+    ref = losses.kd_loss_jnp(new, old, valid, labels, temperature=2.0)
+    got = kd_pallas.kd_loss(new, old, valid, labels, temperature=2.0)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
+def test_kd_loss_gradient_matches_jnp():
+    new, old, valid, labels = _kd_fixture()
+
+    g_ref = jax.grad(lambda x: losses.kd_loss_jnp(
+        x, old, valid, labels, temperature=2.0))(new)
+    g_got = jax.grad(lambda x: kd_pallas.kd_loss(
+        x, old, valid, labels, temperature=2.0))(new)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=1e-6)
+
+
+def test_kd_loss_zero_when_equal():
+    new, _, valid, labels = _kd_fixture()
+    got = kd_pallas.kd_loss(new, new, valid, labels, temperature=2.0)
+    assert abs(float(got)) < 1e-6
+
+
+def test_kd_loss_wide_class_dim():
+    # C > 128 exercises lane padding
+    new, old, valid, labels = _kd_fixture(c=5)
+    rng = np.random.RandomState(7)
+    c = 200
+    new = jnp.asarray(rng.randn(1, 4, 4, c).astype(np.float32))
+    old = jnp.asarray(rng.randn(1, 4, 4, c).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, c, size=(1, 4, 4)).astype(np.int32))
+    valid = jnp.asarray(np.arange(c) < 150)
+    ref = losses.kd_loss_jnp(new, old, valid, labels, temperature=3.0)
+    got = kd_pallas.kd_loss(new, old, valid, labels, temperature=3.0)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
