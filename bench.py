@@ -82,12 +82,13 @@ def bench_jax(img: int, src: int) -> float:
 
     for i in range(WARMUP):
         state, aux = step(state, dev[i % len(dev)], valid)
-    jax.block_until_ready(state.params)
+    float(aux["loss"])  # host fetch = the only reliable sync through the
+    #                     axon relay (block_until_ready returns early there)
 
     t0 = time.perf_counter()
     for i in range(STEPS):
         state, aux = step(state, dev[i % len(dev)], valid)
-    jax.block_until_ready(state.params)
+    float(aux["loss"])  # aux depends on the full state chain
     dt = (time.perf_counter() - t0) / STEPS
     return BATCH / dt  # images/sec on this one chip
 

@@ -1,16 +1,109 @@
-"""Fused augmentation kernel (device side of decode→resize→flip→normalize).
+"""Fused device-side augmentation kernel: uint8 → resize → flip → normalize.
 
-Stage-6 deliverable (SURVEY.md §7). Until the Pallas kernel lands, this
-delegates to the jnp implementation — which XLA already fuses into the train
-step; the Pallas version's win is a single explicit HBM round-trip for the
-uint8 → normalized-bf16 path.
+The device half of the reference's decode→resize→flip→normalize path
+(BASELINE.json:5; host keeps byte decode — SURVEY.md §7 hard parts). One
+Pallas program per image does everything in a single HBM round trip:
+
+  * bilinear resize as two MXU matmuls per channel (Rv·X·Rhᵀ) using the
+    framework-wide half-pixel coefficients (cl_tpu/data/resize.py) — the
+    same arithmetic as the jnp fallback and the torch oracle;
+  * nearest mask resize as a one-hot selection matmul (exact: one 1 per
+    row, f32 matmul of labels ≤255 is integer-exact);
+  * horizontal flip FOLDED INTO the second matmul: flipping output columns
+    equals using the row-reversed Rh, so flipped images cost zero extra
+    work — the per-image flag just selects which matrix feeds the MXU;
+  * per-channel mean/std normalization fused into the same pass, output
+    written once in the compute dtype (bf16 for config 5).
+
+Input is planarized to [B, 3, S, S] (one cheap XLA transpose of uint8)
+so each channel is a clean 2-D tile for the MXU.
 """
 
 from __future__ import annotations
 
-from cl_tpu.augment import augment_jnp
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cl_tpu.data import resize as resize_lib
+from cl_tpu.pallas import common
 
 
-def augment(image_u8, mask, flip, *, out_size, mean, std, compute_dtype):
-    return augment_jnp(image_u8, mask, flip, out_size=out_size, mean=mean,
-                       std=std, compute_dtype=compute_dtype)
+@functools.lru_cache(maxsize=16)
+def _matrices(src: int, dst: int):
+    rv = resize_lib.bilinear_matrix(src, dst)          # f32 [dst, src]
+    sv = np.zeros((dst, src), np.float32)              # one-hot nearest
+    sv[np.arange(dst), resize_lib.nearest_indices(src, dst)] = 1.0
+    return rv, rv[::-1].copy(), sv, sv[::-1].copy()
+
+
+def _kernel(img_ref, mask_ref, flip_ref, rv_ref, rvf_ref, sv_ref, svf_ref,
+            mean_ref, std_ref, x_out_ref, y_out_ref):
+    flip = flip_ref[pl.program_id(0), 0] != 0
+    # Row-reversed second-pass matrices implement the flip for free.
+    rh = jax.lax.cond(flip, lambda: rvf_ref[:], lambda: rv_ref[:])
+    sh = jax.lax.cond(flip, lambda: svf_ref[:], lambda: sv_ref[:])
+
+    for c in range(3):
+        # Mosaic has no direct uint8->f32 cast; hop through int32.
+        xc = img_ref[0, c].astype(jnp.int32).astype(jnp.float32)  # [S, S]
+        a = jnp.dot(rv_ref[:], xc, preferred_element_type=jnp.float32)
+        yc = jax.lax.dot_general(
+            a, rh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # [D, D]
+        yc = (yc - mean_ref[0, c]) / std_ref[0, c]
+        x_out_ref[0, c] = yc.astype(x_out_ref.dtype)
+
+    m = mask_ref[0].astype(jnp.float32)
+    am = jnp.dot(sv_ref[:], m, preferred_element_type=jnp.float32)
+    ym = jax.lax.dot_general(
+        am, sh, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y_out_ref[0] = (ym + 0.5).astype(jnp.int32)  # exact integers; round
+
+
+def augment(image_u8, mask, flip, *, out_size, mean, std,
+            compute_dtype=jnp.float32):
+    """Same contract as ``cl_tpu.augment.augment_jnp``: uint8 NHWC batch →
+    (x [B,D,D,3] compute_dtype, y [B,D,D] int32)."""
+    B, S = image_u8.shape[0], image_u8.shape[1]
+    D = out_size
+    rv, rvf, sv, svf = _matrices(S, D)
+
+    img_pl = jnp.transpose(image_u8, (0, 3, 1, 2))  # [B, 3, S, S] uint8
+    mean_a = jnp.asarray(mean, jnp.float32) * 255.0
+    std_a = jnp.asarray(std, jnp.float32) * 255.0
+
+    mat_spec = pl.BlockSpec((D, S), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    x_pl, y_pl = pl.pallas_call(
+        _kernel,
+        out_shape=(jax.ShapeDtypeStruct((B, 3, D, D), compute_dtype),
+                   jax.ShapeDtypeStruct((B, D, D), jnp.int32)),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 3, S, S), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, S), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # flip flags [B, 1]
+            mat_spec, mat_spec, mat_spec, mat_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # mean [1, 3]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # std  [1, 3]
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 3, D, D), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, D), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        interpret=common.interpret_mode(),
+    )(img_pl, mask, flip.astype(jnp.int32)[:, None], jnp.asarray(rv),
+      jnp.asarray(rvf), jnp.asarray(sv), jnp.asarray(svf),
+      mean_a[None, :], std_a[None, :])
+
+    return jnp.transpose(x_pl, (0, 2, 3, 1)), y_pl

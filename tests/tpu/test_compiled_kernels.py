@@ -71,3 +71,35 @@ def test_sq_accumulate_compiled():
     got = jax.jit(ewc_fused.sq_accumulate)(acc, g)
     np.testing.assert_allclose(np.asarray(got["w"]),
                                np.asarray(g["w"]) ** 2, rtol=1e-6)
+
+
+def test_augment_compiled():
+    from cl_tpu import augment as augment_jnp_lib
+    from cl_tpu.pallas import augment as augment_pallas
+
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.randint(0, 256, size=(4, 160, 160, 3),
+                                  dtype=np.uint8))
+    mask = jnp.asarray(rng.randint(0, 21, size=(4, 160, 160)).astype(np.int32))
+    flip = jnp.asarray(np.array([True, False, True, False]))
+    kw = dict(out_size=128, mean=(0.485, 0.456, 0.406),
+              std=(0.229, 0.224, 0.225), compute_dtype=jnp.float32)
+    x_ref, y_ref = jax.jit(
+        lambda *a: augment_jnp_lib.augment_jnp(*a, **kw))(img, mask, flip)
+    x_got, y_got = jax.jit(
+        lambda *a: augment_pallas.augment(*a, **kw))(img, mask, flip)
+    np.testing.assert_allclose(np.asarray(x_got), np.asarray(x_ref),
+                               atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(y_got), np.asarray(y_ref))
+
+
+def test_replay_gather_compiled():
+    from cl_tpu.pallas import replay_gather
+
+    rng = np.random.RandomState(9)
+    buf = jnp.asarray(rng.randint(0, 256, size=(32, 64, 64, 3),
+                                  dtype=np.uint8))
+    idx = jnp.asarray(rng.randint(0, 32, size=6).astype(np.int32))
+    got = jax.jit(replay_gather.gather)(buf, idx)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(buf)[np.asarray(idx)])

@@ -115,3 +115,33 @@ def test_kd_loss_wide_class_dim():
     ref = losses.kd_loss_jnp(new, old, valid, labels, temperature=3.0)
     got = kd_pallas.kd_loss(new, old, valid, labels, temperature=3.0)
     np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
+def test_replay_gather_matches_take():
+    from cl_tpu.pallas import replay_gather
+
+    rng = np.random.RandomState(5)
+    buf = jnp.asarray(rng.randint(0, 256, size=(10, 16, 16, 3),
+                                  dtype=np.uint8))
+    idx = jnp.asarray(np.array([3, 0, 7, 3], np.int32))
+    got = replay_gather.gather(buf, idx)
+    np.testing.assert_array_equal(np.asarray(got),
+                                  np.asarray(buf)[np.asarray(idx)])
+
+
+def test_device_replay_buffer():
+    from cl_tpu.data.synthetic import SyntheticSegDataset
+    from cl_tpu.pallas.replay_gather import DeviceReplayBuffer
+
+    ds = SyntheticSegDataset(num_images=12, size=16, task_classes=[1], seed=0)
+    buf = DeviceReplayBuffer(8, 16, seed=3)
+    buf.add_examples(ds, 6, task_id=0)
+    assert len(buf) == 6
+    buf.add_examples(ds, 6, task_id=1)
+    assert len(buf) == 8  # capacity bound
+    idx = buf.sample_indices(4)
+    imgs, masks = buf.gather(idx)
+    assert imgs.shape == (4, 16, 16, 3) and masks.shape == (4, 16, 16)
+    # gathered rows are actual stored rows
+    np.testing.assert_array_equal(
+        np.asarray(imgs[0]), np.asarray(buf.images)[int(idx[0])])
