@@ -72,8 +72,11 @@ def penalty(params, state: EWCState, *, mode: str) -> jax.Array:
 
 
 def fisher_batch_grads(apply_fn, params, model_state, x, y, valid_classes,
-                       *, kind: str, rng: jax.Array, ignore_index: int = 255):
-    """Squared-gradient contribution of one batch (jit-compiled by caller).
+                       *, kind: str, rng: jax.Array, ignore_index: int = 255,
+                       square: bool = True):
+    """Squared-gradient contribution of one batch (jit-compiled by caller);
+    ``square=False`` returns the raw grads (the fused Pallas accumulator
+    squares them itself).
 
     kind="empirical": grads of CE at the true labels (the reference's
     ``loss.backward()`` pass, SURVEY.md §3.3).
@@ -97,6 +100,8 @@ def fisher_batch_grads(apply_fn, params, model_state, x, y, valid_classes,
     else:
         labels = y
     grads = jax.grad(ce_loss)(params, labels)
+    if not square:
+        return grads
     return jax.tree.map(lambda g: g.astype(jnp.float32) ** 2, grads)
 
 

@@ -148,3 +148,30 @@ class DeviceReplayBuffer:
 
     def gather(self, indices) -> tuple[jax.Array, jax.Array]:
         return gather(self.images, indices), gather(self.masks, indices)
+
+    def sample_flips(self, k: int, flip_prob: float):
+        import numpy as np
+
+        return jnp.asarray(self.rng.rand(k) < flip_prob)
+
+    # ------------------------------------------------------------------
+    # Checkpoint interface — same shape as the host ReplayBuffer's.
+    def state_dict(self) -> dict:
+        import numpy as np
+
+        return {
+            "capacity": self.capacity,
+            "images": np.asarray(jax.device_get(self.images)),
+            "masks": np.asarray(jax.device_get(self.masks)),
+            "count": self.count,
+            "seen": self._seen,
+            "rng_state": self.rng.get_state(),
+        }
+
+    def load_state_dict(self, sd: dict) -> None:
+        self.capacity = int(sd["capacity"])
+        self.images = jnp.asarray(sd["images"])
+        self.masks = jnp.asarray(sd["masks"])
+        self.count = int(sd["count"])
+        self._seen = int(sd["seen"])
+        self.rng.set_state(sd["rng_state"])

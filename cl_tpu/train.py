@@ -241,10 +241,20 @@ def make_fisher_step(cfg: Config, model: UNet, mesh=None) -> Callable:
     m = cfg.method
     d = cfg.data
 
+    use_pallas = cfg.train.use_pallas
+
     def step(fisher_acc, params, model_state, batch, valid_classes, rng):
         x, y = augment_lib.augment_jnp(
             batch.image, batch.mask, batch.flip, out_size=d.image_size,
             mean=d.mean, std=d.std, compute_dtype=_dtype(cfg))
+        if use_pallas:
+            from cl_tpu.pallas import ewc_fused
+            grads = ewc_lib.fisher_batch_grads(
+                model.apply, params, model_state, x, y, valid_classes,
+                kind=m.ewc_fisher_kind, rng=rng,
+                ignore_index=d.ignore_index, square=False)
+            # fused acc += g² (SURVEY.md §2.2 "ewc_fused")
+            return ewc_fused.sq_accumulate(fisher_acc, grads)
         sq = ewc_lib.fisher_batch_grads(
             model.apply, params, model_state, x, y, valid_classes,
             kind=m.ewc_fisher_kind, rng=rng, ignore_index=d.ignore_index)
@@ -280,6 +290,29 @@ def run_fisher_pass(cfg: Config, fisher_step, state: TrainState,
     return jax.tree.map(lambda a: a / n, acc)
 
 
+def _device_replay_mix(buf, batch: pipeline.HostBatch, k: int, *,
+                       flip_prob: float) -> pipeline.HostBatch:
+    """Widen a device batch with k replay rows gathered from the
+    HBM-resident buffer (``cl_tpu.pallas.replay_gather``). Empty buffer
+    (task 0): duplicate fresh rows so the step shape is constant from the
+    first step (mirrors ``ReplayBuffer.sample_or_current``)."""
+    idx = buf.sample_indices(k)
+    if idx is None:
+        B = batch.image.shape[0]
+        dup = jnp.asarray(buf.rng.randint(0, B, size=k).astype("int32"))
+        imgs = jnp.take(batch.image, dup, axis=0)
+        masks = jnp.take(batch.mask, dup, axis=0)
+        flips = jnp.take(batch.flip, dup, axis=0)
+    else:
+        imgs, masks = buf.gather(idx)
+        flips = buf.sample_flips(k, flip_prob)
+    return pipeline.HostBatch(
+        image=jnp.concatenate([batch.image, imgs]),
+        mask=jnp.concatenate([batch.mask, masks]),
+        flip=jnp.concatenate([batch.flip, flips]),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Full continual run
 # ---------------------------------------------------------------------------
@@ -307,9 +340,21 @@ def train(cfg: Config) -> dict:
     splits = cfg.classes_per_task
     T = cfg.train.num_tasks
     use_replay = "replay" in cfg.method.methods
-    replay = ReplayBuffer(cfg.method.replay_capacity,
-                          seed=cfg.data.shuffle_seed + 999) \
-        if use_replay else None
+    dev_replay = use_replay and cfg.method.replay_device_resident
+    if dev_replay and mesh is not None:
+        raise ValueError(
+            "replay_device_resident requires single-device training "
+            "(the HBM buffer is not sharded); use the host buffer with DP")
+    if dev_replay:
+        from cl_tpu.pallas.replay_gather import DeviceReplayBuffer
+        replay = DeviceReplayBuffer(cfg.method.replay_capacity,
+                                    cfg.data.source_size,
+                                    seed=cfg.data.shuffle_seed + 999)
+    elif use_replay:
+        replay = ReplayBuffer(cfg.method.replay_capacity,
+                              seed=cfg.data.shuffle_seed + 999)
+    else:
+        replay = None
 
     miou_matrix = np.full((T, T), np.nan)
     start_task = 0
@@ -330,8 +375,14 @@ def train(cfg: Config) -> dict:
         t_task = time.perf_counter()
 
         for epoch in range(cfg.train.epochs_per_task):
+            # Tracing/profiling subsystem (SURVEY.md §5.1): Perfetto/
+            # TensorBoard trace of the first steady-state epoch.
+            profiling = (cfg.train.profile_dir and task_id == start_task
+                         and epoch == min(1, cfg.train.epochs_per_task - 1))
+            if profiling:
+                jax.profiler.start_trace(cfg.train.profile_dir)
             host_it = pipeline.train_batches(cfg, task_id, epoch)
-            if use_replay:
+            if use_replay and not dev_replay:
                 k = cfg.method.replay_batch
 
                 def mixed(it=host_it):
@@ -345,15 +396,24 @@ def train(cfg: Config) -> dict:
             losses_dev, n_steps = [], 0
             for batch in pipeline.prefetch_to_device(
                     host_it, depth=cfg.data.prefetch_depth, sharding=bs):
+                if dev_replay:
+                    batch = _device_replay_mix(
+                        replay, batch, cfg.method.replay_batch,
+                        flip_prob=cfg.data.flip_prob)
                 t0 = time.perf_counter()
                 state, aux = train_step(state, batch, valid_dev)
                 if cfg.train.bench_steps:
-                    jax.block_until_ready(state.params)
+                    # Host fetch — the only reliable device sync here
+                    # (block_until_ready returns early through the relay).
+                    float(aux["loss"])
                     step_times.append(time.perf_counter() - t0)
                 losses_dev.append(aux["loss"])
                 n_steps += 1
             ep_loss = float(np.mean(jax.device_get(losses_dev))) \
                 if losses_dev else 0.0
+            if profiling:
+                jax.profiler.stop_trace()
+                logger.log(event="profile", dir=cfg.train.profile_dir)
             logger.log(event="epoch", task=task_id, epoch=epoch,
                        loss=ep_loss, steps=n_steps)
 

@@ -46,3 +46,12 @@ def test_refuses_cross_config_resume(tmp_path):
     state = init_state(other, model, build_optimizer(other))
     with pytest.raises(ValueError, match="config hash"):
         ckpt_lib.restore_latest(other, state, None)
+
+
+def test_device_resident_replay_run(tmp_path):
+    """End-to-end 2-task run with the HBM-resident replay buffer
+    (falls back to XLA gather on CPU; same semantics)."""
+    args = _args(str(tmp_path / "ckpt_dev"),
+                 ["method.replay_device_resident=true"])
+    report = train(parse_overrides(args))
+    assert np.isfinite(report["final_per_task_miou"]).all()
