@@ -1,0 +1,101 @@
+"""Acceptance-ladder benchmark runner (SURVEY.md §4.5, BASELINE.md).
+
+Runs BASELINE configs 1..5 (scaled-down variants selectable) on the current
+device and, optionally, the torch-CPU oracle on the same stream, emitting a
+JSON report with images/sec/chip and the per-task mIoU matrix for each rung.
+
+    python benchmarks/run.py                 # configs 1-4 on this device
+    python benchmarks/run.py --configs 1,2   # subset
+    python benchmarks/run.py --torch         # also run the torch oracle
+    python benchmarks/run.py --quick         # tiny shapes (CI smoke)
+
+Config 5 needs a real v5e-8 slice; on fewer devices it runs with whatever
+mesh exists and the report records n_devices (never extrapolated —
+BASELINE.md measurement protocol).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_config(name: str, *, quick: bool, with_torch: bool) -> dict:
+    import jax
+
+    from cl_tpu.config import get_preset
+    from cl_tpu.train import train
+
+    cfg = get_preset(name)
+    if quick:
+        cfg = cfg.replace(
+            data=dataclasses.replace(
+                cfg.data, image_size=64, source_size=80,
+                train_images_per_task=16, val_images_per_task=8,
+                batch_size=min(cfg.data.batch_size, 8)),
+            train=dataclasses.replace(cfg.train, epochs_per_task=1),
+        )
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, bench_steps=100))
+
+    t0 = time.perf_counter()
+    report = train(cfg)
+    wall = time.perf_counter() - t0
+    out = {
+        "config": name,
+        "config_hash": report["config_hash"],
+        "n_devices": len(jax.devices()),
+        "backend": jax.default_backend(),
+        "wall_seconds": round(wall, 2),
+        "mean_final_miou": report["mean_final_miou"],
+        "final_per_task_miou": report["final_per_task_miou"],
+        "mean_forgetting": report["mean_forgetting"],
+        "images_per_sec_per_chip": report.get("images_per_sec_per_chip"),
+    }
+    if with_torch:
+        from reference_impl.train import train as torch_train
+
+        t0 = time.perf_counter()
+        tr = torch_train(cfg)
+        out["torch_wall_seconds"] = round(time.perf_counter() - t0, 2)
+        out["torch_mean_final_miou"] = tr["mean_final_miou"]
+        out["torch_images_per_sec"] = tr.get("images_per_sec_per_chip")
+        out["miou_delta"] = out["mean_final_miou"] - tr["mean_final_miou"]
+        if tr.get("images_per_sec_per_chip"):
+            out["speedup_vs_torch_cpu"] = (
+                out["images_per_sec_per_chip"] / tr["images_per_sec_per_chip"])
+    return out
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs", default="1,2,3,4")
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--torch", action="store_true")
+    p.add_argument("--out", default="")
+    args = p.parse_args()
+
+    results = []
+    for c in args.configs.split(","):
+        name = f"baseline_{c.strip()}"
+        print(f"== {name} ==", file=sys.stderr)
+        results.append(run_config(name, quick=args.quick,
+                                  with_torch=args.torch))
+        print(json.dumps(results[-1], default=float), file=sys.stderr)
+    blob = json.dumps(results, default=float, indent=1)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(blob)
+    print(blob)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

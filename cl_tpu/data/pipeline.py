@@ -54,14 +54,19 @@ def batches(
     order = _epoch_order(len(dataset), seed=seed, epoch=epoch, shuffle=shuffle)
     flip_rng = np.random.RandomState((seed + 31 * epoch + 7) % (2**31 - 1))
     n_full = len(dataset) // batch_size
+    batched = getattr(dataset, "get_batch", None)  # native threaded path
     for b in range(n_full):
         idx = order[b * batch_size:(b + 1) * batch_size]
-        imgs, masks = zip(*(dataset[int(i)] for i in idx))
+        if batched is not None:
+            image, masks = batched(idx)
+        else:
+            imgs, masks = zip(*(dataset[int(i)] for i in idx))
+            image, masks = np.stack(imgs), np.stack(masks)
         flip = (flip_rng.rand(batch_size) < flip_prob) if flip_prob > 0 else \
             np.zeros(batch_size, dtype=bool)
         yield HostBatch(
-            image=np.stack(imgs),
-            mask=np.stack(masks).astype(np.int32),
+            image=image,
+            mask=masks.astype(np.int32),
             flip=flip.astype(bool),
         )
 
@@ -82,6 +87,13 @@ def make_datasets(cfg: Config, task_id: int):
             task_classes=task_classes, seed=d.shuffle_seed + task_id,
             split="val")
         return train_ds, val_ds
+    if d.dataset == "synthetic_native":
+        from cl_tpu.data.synthetic_native import NativeSyntheticSegDataset
+        mk = lambda n, split: NativeSyntheticSegDataset(
+            num_images=n, size=d.source_size, task_classes=task_classes,
+            seed=d.shuffle_seed + task_id, split=split)
+        return (mk(d.train_images_per_task, "train"),
+                mk(d.val_images_per_task, "val"))
     if d.dataset in ("voc_dir", "cityscapes_dir"):
         from cl_tpu.data import directory
         return directory.make_datasets(cfg, task_id)

@@ -366,7 +366,7 @@ def train(cfg: Config) -> dict:
             logger.log(event="resumed", task=last_task)
 
     bs = sharding.batch_sharding(mesh) if mesh is not None else None
-    step_times: list[float] = []
+    step_times: list[tuple[float, int]] = []  # (epoch seconds, steps)
 
     for task_id in range(start_task, T):
         seen = task_lib.seen_classes(splits, task_id)
@@ -394,23 +394,25 @@ def train(cfg: Config) -> dict:
             # Loss values stay on device during the epoch — fetching them
             # per step would sync the pipeline and stall the double buffer.
             losses_dev, n_steps = [], 0
+            t_ep = time.perf_counter()
             for batch in pipeline.prefetch_to_device(
                     host_it, depth=cfg.data.prefetch_depth, sharding=bs):
                 if dev_replay:
                     batch = _device_replay_mix(
                         replay, batch, cfg.method.replay_batch,
                         flip_prob=cfg.data.flip_prob)
-                t0 = time.perf_counter()
                 state, aux = train_step(state, batch, valid_dev)
-                if cfg.train.bench_steps:
-                    # Host fetch — the only reliable device sync here
-                    # (block_until_ready returns early through the relay).
-                    float(aux["loss"])
-                    step_times.append(time.perf_counter() - t0)
                 losses_dev.append(aux["loss"])
                 n_steps += 1
+            # device_get of the losses is the epoch sync (per-step syncs
+            # would stall the double buffer; block_until_ready is
+            # unreliable through the device relay).
             ep_loss = float(np.mean(jax.device_get(losses_dev))) \
                 if losses_dev else 0.0
+            ep_time = time.perf_counter() - t_ep
+            if not (task_id == start_task and epoch == 0):
+                # steady state: first epoch carries jit compilation
+                step_times.append((ep_time, n_steps))
             if profiling:
                 jax.profiler.stop_trace()
                 logger.log(event="profile", dir=cfg.train.profile_dir)
@@ -454,13 +456,14 @@ def train(cfg: Config) -> dict:
     report = metrics.forgetting_report(miou_matrix)
     report["config_hash"] = cfg.config_hash()
     if step_times:
-        st = np.asarray(step_times[10:110] if len(step_times) > 20
-                        else step_times)
+        total_s = sum(t for t, _ in step_times)
+        total_steps = sum(n for _, n in step_times)
         n_dev = mesh.devices.size if mesh is not None else 1
         gb = cfg.data.batch_size + (
             cfg.method.replay_batch if use_replay else 0)
-        report["images_per_sec_per_chip"] = float(
-            gb / np.median(st) / n_dev)
+        if total_s > 0 and total_steps > 0:
+            report["images_per_sec_per_chip"] = float(
+                gb * total_steps / total_s / n_dev)
     logger.log(event="done", **{k: v for k, v in report.items()
                                 if k != "miou_matrix"})
     return report
