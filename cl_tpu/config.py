@@ -88,6 +88,7 @@ class TrainConfig:
     checkpoint_dir: str = ""  # empty = no checkpointing
     resume: bool = False
     log_path: str = ""  # JSONL event log; empty = stdout only
+    tensorboard_dir: str = ""  # optional TB scalar mirror; empty = off
     profile_dir: str = ""  # jax.profiler trace output; empty = off
     fail_after_task: int = -1  # test-only fault injection (SURVEY.md §5.3)
     data_parallel: bool = True  # shard batch over all visible devices
@@ -110,6 +111,7 @@ class Config:
     # resume with e.g. a different log path or without the fault-injection
     # flag must still match the stored hash.
     _HASH_EXCLUDE = ("checkpoint_dir", "resume", "log_path", "profile_dir",
+                     "tensorboard_dir",
                      "fail_after_task", "bench_steps")
 
     def config_hash(self) -> str:

@@ -323,7 +323,8 @@ def train(cfg: Config) -> dict:
     from cl_tpu import checkpoint as ckpt_lib
     from cl_tpu.logging_utils import EventLogger
 
-    logger = EventLogger(cfg.train.log_path)
+    logger = EventLogger(cfg.train.log_path,
+                         cfg.train.tensorboard_dir)
     mesh = None
     if cfg.train.data_parallel and len(jax.devices()) > 1:
         mesh = sharding.make_mesh()
