@@ -85,14 +85,24 @@ def fisher_batch_grads(apply_fn, params, model_state, x, y, valid_classes,
     """
     from cl_tpu import losses
 
+    C = valid_classes.shape[0]
+
+    def pad(logits):  # grow-the-head mode: logits can be narrower than C
+        w = logits.shape[-1]
+        if w == C:
+            return logits
+        return jnp.pad(logits, ((0, 0),) * 3 + ((0, C - w),),
+                       constant_values=losses.NEG_INF)
+
     def ce_loss(p, labels):
-        logits = apply_fn({"params": p, **model_state}, x, train=False)
+        logits = pad(apply_fn({"params": p, **model_state}, x, train=False))
         loss, _ = losses.cross_entropy(logits, labels, valid_classes,
                                        ignore_index=ignore_index)
         return loss
 
     if kind == "true":
-        logits = apply_fn({"params": params, **model_state}, x, train=False)
+        logits = pad(apply_fn({"params": params, **model_state}, x,
+                              train=False))
         from cl_tpu.losses import mask_logits
         sampled = jax.random.categorical(
             rng, mask_logits(logits, valid_classes), axis=-1)

@@ -106,5 +106,48 @@ def init_variables(model: UNet, rng: jax.Array, image_size: int,
     return model.init(rng, x, train=False)
 
 
+def expand_head_params(params, new_width: int, rng: jax.Array):
+    """Grow the 1×1 head to ``new_width`` outputs, copying old-class weights
+    exactly and initializing the new columns (the reference's
+    ``model.expand_head`` behavior, SURVEY.md §3.1; used when
+    ``model.padded_head=False``). Returns a NEW params pytree."""
+    head = params["head"]
+    kernel, bias = head["kernel"], head["bias"]
+    old_w = kernel.shape[-1]
+    if new_width <= old_w:
+        return params
+    fan_in = kernel.shape[-2]
+    k_rng, _ = jax.random.split(rng)
+    # lecun_normal — flax nn.Conv's default kernel init
+    new_cols = jax.random.normal(
+        k_rng, kernel.shape[:-1] + (new_width - old_w,),
+        jnp.float32) * jnp.sqrt(1.0 / fan_in)
+    new_kernel = jnp.concatenate([kernel, new_cols], axis=-1)
+    new_bias = jnp.concatenate(
+        [bias, jnp.zeros((new_width - old_w,), bias.dtype)])
+    out = dict(params)
+    out["head"] = {"kernel": new_kernel, "bias": new_bias}
+    return out
+
+
+def expand_head_zeros(tree, new_width: int):
+    """Expand head leaves of an auxiliary pytree (EWC anchor/Fisher, LwF
+    snapshot) with ZERO columns — no penalty / no signal on classes that
+    did not exist when the state was recorded."""
+    if tree is None or "head" not in tree:
+        return tree
+    head = tree["head"]
+    out = dict(tree)
+    new_head = {}
+    for name, leaf in head.items():
+        pad = new_width - leaf.shape[-1]
+        if pad > 0:
+            zeros = jnp.zeros(leaf.shape[:-1] + (pad,), leaf.dtype)
+            leaf = jnp.concatenate([leaf, zeros], axis=-1)
+        new_head[name] = leaf
+    out["head"] = new_head
+    return out
+
+
 def param_count(params) -> int:
     return sum(p.size for p in jax.tree.leaves(params))

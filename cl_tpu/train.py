@@ -56,11 +56,30 @@ def _dtype(cfg: Config):
     return jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
 
 
-def build_model(cfg: Config) -> UNet:
+def build_model(cfg: Config, head_width: int | None = None) -> UNet:
+    """``head_width`` overrides the padded full-width head — the
+    grow-the-head variant (model.padded_head=False, SURVEY.md §7)."""
     return UNet(num_classes=cfg.data.num_classes,
                 base_channels=cfg.model.base_channels,
                 depth=cfg.model.depth, norm=cfg.model.norm,
-                dtype=_dtype(cfg))
+                dtype=_dtype(cfg), head_width=head_width)
+
+
+def task_head_width(cfg: Config, task_id: int) -> int:
+    """Head width for grow-mode: seen classes are contiguous global ids
+    (splits are contiguous), so width = max(seen) + 1."""
+    seen = task_lib.seen_classes(cfg.classes_per_task, task_id)
+    return max(seen) + 1
+
+
+def _pad_logits(logits: jax.Array, num_classes: int) -> jax.Array:
+    """Grow-mode logits are narrower than the global label space; pad with
+    -inf so loss masking and the confusion matrix see a fixed width."""
+    w = logits.shape[-1]
+    if w == num_classes:
+        return logits
+    return jnp.pad(logits, ((0, 0), (0, 0), (0, 0), (0, num_classes - w)),
+                   constant_values=losses.NEG_INF)
 
 
 def build_optimizer(cfg: Config) -> optax.GradientTransformation:
@@ -135,10 +154,12 @@ def make_train_step(cfg: Config, model: UNet, tx,
 
         old = None
         if use_lwf:
-            old = lwf_lib.old_logits(model.apply, state.lwf, x)
+            old = _pad_logits(lwf_lib.old_logits(model.apply, state.lwf, x),
+                              d.num_classes)
 
         def loss_fn(params):
             logits, new_ms = apply_train(params, state.model_state, x)
+            logits = _pad_logits(logits, d.num_classes)
             ce, n_pix = losses.cross_entropy(
                 logits, y, valid_classes, ignore_index=d.ignore_index)
             total = ce
@@ -197,8 +218,9 @@ def make_eval_step(cfg: Config, model: UNet, mesh=None) -> Callable:
         x, y = augment_lib.augment_jnp(
             batch.image, batch.mask, batch.flip, out_size=d.image_size,
             mean=d.mean, std=d.std, compute_dtype=compute_dtype)
-        logits = model.apply({"params": params, **model_state}, x,
-                             train=False)
+        logits = _pad_logits(
+            model.apply({"params": params, **model_state}, x, train=False),
+            d.num_classes)
         return metrics.confusion_matrix_update(
             conf, logits, y, valid_classes, ignore_index=d.ignore_index)
 
@@ -290,6 +312,33 @@ def run_fisher_pass(cfg: Config, fisher_step, state: TrainState,
     return jax.tree.map(lambda a: a / n, acc)
 
 
+def _expand_state(cfg: Config, state: TrainState, tx, new_width: int,
+                  task_id: int) -> TrainState:
+    """Grow-mode state surgery: expand head params (copy old classes, init
+    new — SURVEY.md §3.1 ``model.expand_head``), expand EWC anchors/Fisher
+    and the LwF snapshot with ZERO columns (no penalty / no distillation
+    signal on classes that post-date the stored state), and re-init the
+    optimizer (param shapes changed — the reference rebuilds its optimizer
+    with the new head too)."""
+    from cl_tpu.models import unet as unet_lib
+
+    rng_exp = jax.random.fold_in(state.rng, 500 + task_id)
+    params = unet_lib.expand_head_params(state.params, new_width, rng_exp)
+    ewc = state.ewc
+    if ewc is not None:
+        ewc = ewc._replace(
+            anchor=unet_lib.expand_head_zeros(ewc.anchor, new_width),
+            fisher=unet_lib.expand_head_zeros(ewc.fisher, new_width))
+    lwf = state.lwf
+    if lwf is not None:
+        lwf = lwf._replace(
+            old_params=unet_lib.expand_head_zeros(lwf.old_params, new_width))
+    return TrainState(step=state.step, params=params,
+                      model_state=state.model_state,
+                      opt_state=tx.init(params), ewc=ewc, lwf=lwf,
+                      rng=state.rng)
+
+
 def _device_replay_mix(buf, batch: pipeline.HostBatch, k: int, *,
                        flip_prob: float) -> pipeline.HostBatch:
     """Widen a device batch with k replay rows gathered from the
@@ -330,13 +379,22 @@ def train(cfg: Config) -> dict:
         mesh = sharding.make_mesh()
         sharding.check_divisible(cfg.data.batch_size, mesh)
 
-    model = build_model(cfg)
+    # Grow-the-head variant (model.padded_head=False): head width follows
+    # the seen-class set; steps are rebuilt (recompiled) on every growth —
+    # bounded by T recompiles (SURVEY.md §7 "head expansion under jit").
+    grow = not cfg.model.padded_head
+    model = build_model(
+        cfg, head_width=task_head_width(cfg, 0) if grow else None)
     tx = build_optimizer(cfg)
     state = init_state(cfg, model, tx)
-    train_step = make_train_step(cfg, model, tx, mesh=mesh)
-    eval_step = make_eval_step(cfg, model, mesh=mesh)
-    fisher_step = make_fisher_step(cfg, model, mesh=mesh) \
-        if "ewc" in cfg.method.methods else None
+
+    def _build_steps(model):
+        return (make_train_step(cfg, model, tx, mesh=mesh),
+                make_eval_step(cfg, model, mesh=mesh),
+                make_fisher_step(cfg, model, mesh=mesh)
+                if "ewc" in cfg.method.methods else None)
+
+    train_step, eval_step, fisher_step = _build_steps(model)
 
     splits = cfg.classes_per_task
     T = cfg.train.num_tasks
@@ -360,6 +418,13 @@ def train(cfg: Config) -> dict:
     miou_matrix = np.full((T, T), np.nan)
     start_task = 0
     if cfg.train.resume and cfg.train.checkpoint_dir:
+        if grow:
+            lt = ckpt_lib.latest_task(cfg)
+            if lt is not None:  # template must match the stored head width
+                model = build_model(cfg,
+                                    head_width=task_head_width(cfg, lt))
+                state = init_state(cfg, model, tx)
+                train_step, eval_step, fisher_step = _build_steps(model)
         restored = ckpt_lib.restore_latest(cfg, state, replay)
         if restored is not None:
             state, replay, last_task, miou_matrix = restored
@@ -374,6 +439,14 @@ def train(cfg: Config) -> dict:
         seen_valid = task_lib.valid_class_mask(cfg.data.num_classes, seen)
         valid_dev = jnp.asarray(seen_valid)
         t_task = time.perf_counter()
+
+        if grow:
+            w = task_head_width(cfg, task_id)
+            if state.params["head"]["kernel"].shape[-1] < w:
+                state = _expand_state(cfg, state, tx, w, task_id)
+                model = build_model(cfg, head_width=w)
+                train_step, eval_step, fisher_step = _build_steps(model)
+                logger.log(event="head_expanded", task=task_id, width=w)
 
         for epoch in range(cfg.train.epochs_per_task):
             # Tracing/profiling subsystem (SURVEY.md §5.1): Perfetto/
