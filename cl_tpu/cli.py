@@ -1,11 +1,14 @@
-"""L0 — command-line entry point.
+"""L0 — command-line entry point (the public train/eval API, SURVEY.md §1).
 
 Usage:
     python -m cl_tpu.cli preset=baseline_1 train.epochs_per_task=1 \
         method.methods=ewc,lwf train.checkpoint_dir=/tmp/ckpt
+    python -m cl_tpu.cli eval preset=baseline_1 train.checkpoint_dir=/tmp/ckpt
 
 Every BASELINE.json config is a preset (``preset=baseline_{1..5}``); any
-field is overridable as ``section.key=value`` (SURVEY.md §5.6).
+field is overridable as ``section.key=value`` (SURVEY.md §5.6). The ``eval``
+subcommand restores the latest per-task checkpoint and reports mIoU on
+every seen task without training.
 """
 
 from __future__ import annotations
@@ -16,6 +19,38 @@ import sys
 from cl_tpu.config import parse_overrides
 
 
+def _run_eval(cfg) -> dict:
+    import numpy as np
+
+    from cl_tpu import checkpoint as ckpt_lib
+    from cl_tpu import train as train_lib
+
+    if not cfg.train.checkpoint_dir:
+        raise SystemExit("eval needs train.checkpoint_dir=<dir>")
+    grow = not cfg.model.padded_head
+    last = ckpt_lib.latest_task(cfg)
+    if last is None:
+        raise SystemExit(f"no checkpoints in {cfg.train.checkpoint_dir}")
+    model = train_lib.build_model(
+        cfg, head_width=train_lib.task_head_width(cfg, last) if grow
+        else None)
+    tx = train_lib.build_optimizer(cfg)
+    state = train_lib.init_state(cfg, model, tx)
+    state, _, last_task, _ = ckpt_lib.restore_task(cfg, state, None, last)
+
+    from cl_tpu.data import tasks as task_lib
+
+    eval_step = train_lib.make_eval_step(cfg, model)
+    seen = task_lib.seen_classes(cfg.classes_per_task, last_task)
+    seen_valid = task_lib.valid_class_mask(cfg.data.num_classes, seen)
+    out = {"task": last_task, "per_task_miou": []}
+    for k in range(last_task + 1):
+        res = train_lib.evaluate_task(cfg, eval_step, state, k, seen_valid)
+        out["per_task_miou"].append(res["miou"])
+    out["mean_miou"] = float(np.mean(out["per_task_miou"]))
+    return out
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] in ("-h", "--help"):
@@ -23,7 +58,13 @@ def main(argv: list[str] | None = None) -> int:
         from cl_tpu.config import PRESETS
         print("presets:", ", ".join(sorted(PRESETS)))
         return 0
+    mode = "train"
+    if argv and argv[0] in ("train", "eval"):
+        mode, argv = argv[0], argv[1:]
     cfg = parse_overrides(argv)
+    if mode == "eval":
+        print(json.dumps(_run_eval(cfg), default=float))
+        return 0
     from cl_tpu.train import train
 
     report = train(cfg)

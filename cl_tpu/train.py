@@ -128,6 +128,11 @@ def make_train_step(cfg: Config, model: UNet, tx,
     use_ewc = "ewc" in m.methods
     use_lwf = "lwf" in m.methods
     use_pallas = cfg.train.use_pallas
+    # Batch-dim kernels (augment, KD) under a mesh: a pallas_call has no
+    # partitioning rule, so SPMD would all-gather the sharded batch around
+    # it. The jnp paths partition cleanly, so they win under DP; the
+    # EWC kernels stay pallas (params are replicated — no resharding).
+    use_pallas_batch = use_pallas and mesh is None
     compute_dtype = _dtype(cfg)
     d = cfg.data
 
@@ -142,7 +147,7 @@ def make_train_step(cfg: Config, model: UNet, tx,
 
     def step(state: TrainState, batch: pipeline.HostBatch,
              valid_classes: jax.Array):
-        if use_pallas:
+        if use_pallas_batch:
             from cl_tpu.pallas import augment as augment_pallas
             x, y = augment_pallas.augment(
                 batch.image, batch.mask, batch.flip, out_size=d.image_size,
@@ -176,7 +181,8 @@ def make_train_step(cfg: Config, model: UNet, tx,
             if use_lwf:
                 kd = lwf_lib.distill_loss(
                     logits, old, state.lwf, y,
-                    temperature=m.lwf_temperature, use_pallas=use_pallas,
+                    temperature=m.lwf_temperature,
+                    use_pallas=use_pallas_batch,
                     ignore_index=d.ignore_index)
                 total = total + m.lwf_alpha * kd
                 aux["kd"] = kd
