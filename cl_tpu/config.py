@@ -93,7 +93,6 @@ class TrainConfig:
     fail_after_task: int = -1  # test-only fault injection (SURVEY.md §5.3)
     data_parallel: bool = True  # shard batch over all visible devices
     use_pallas: bool = True  # fused kernels; False = pure-jnp fallbacks
-    bench_steps: int = 0  # if >0, time this many steady-state steps
 
 
 @dataclasses.dataclass(frozen=True)
@@ -112,7 +111,7 @@ class Config:
     # flag must still match the stored hash.
     _HASH_EXCLUDE = ("checkpoint_dir", "resume", "log_path", "profile_dir",
                      "tensorboard_dir",
-                     "fail_after_task", "bench_steps")
+                     "fail_after_task")
 
     def config_hash(self) -> str:
         """Stable hash stored in checkpoints and logs (SURVEY.md §5.6)."""
