@@ -67,3 +67,29 @@ def test_check_divisible():
     sharding.check_divisible(8, mesh)
     with pytest.raises(ValueError):
         sharding.check_divisible(6, mesh)
+
+
+def test_2d_mesh_channel_sharded_forward(eight_devices):
+    """TP readiness (SURVEY.md §2.3): conv channels sharded over the model
+    axis of a 2x4 mesh produce the same logits as replicated params."""
+    import jax.numpy as jnp
+
+    from cl_tpu.models.unet import UNet, init_variables
+
+    model = UNet(num_classes=3, base_channels=16, depth=2, norm="group")
+    v = init_variables(model, jax.random.PRNGKey(0), 32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    ref = model.apply(v, x, train=False)
+
+    mesh = sharding.make_mesh_2d(4, devices=eight_devices)
+    specs = sharding.param_specs(v["params"], mesh, min_channels=16)
+    n_sharded = sum(
+        1 for s in jax.tree.leaves(specs)
+        if s.spec != jax.sharding.PartitionSpec())
+    assert n_sharded > 0  # some kernels actually shard
+    params_sh = jax.device_put(v["params"], specs)
+    xspec = jax.NamedSharding(mesh, jax.sharding.PartitionSpec("data"))
+    x_sh = jax.device_put(x, xspec)
+    got = jax.jit(lambda p, x: model.apply({"params": p}, x, train=False))(
+        params_sh, x_sh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
