@@ -165,8 +165,13 @@ def make_train_step(cfg: Config, model: UNet, tx,
         def loss_fn(params):
             logits, new_ms = apply_train(params, state.model_state, x)
             logits = _pad_logits(logits, d.num_classes)
-            ce, n_pix = losses.cross_entropy(
-                logits, y, valid_classes, ignore_index=d.ignore_index)
+            if use_pallas_batch:
+                from cl_tpu.pallas import ce_loss as ce_pallas
+                ce, n_pix = ce_pallas.cross_entropy(
+                    logits, y, valid_classes, ignore_index=d.ignore_index)
+            else:
+                ce, n_pix = losses.cross_entropy(
+                    logits, y, valid_classes, ignore_index=d.ignore_index)
             total = ce
             aux = {"ce": ce, "n_pix": n_pix}
             if use_ewc:

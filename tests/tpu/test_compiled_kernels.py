@@ -103,3 +103,22 @@ def test_replay_gather_compiled():
     got = jax.jit(replay_gather.gather)(buf, idx)
     np.testing.assert_array_equal(np.asarray(got),
                                   np.asarray(buf)[np.asarray(idx)])
+
+
+def test_ce_loss_compiled():
+    from cl_tpu.pallas import ce_loss as ce_pallas
+
+    rng = np.random.RandomState(13)
+    logits = jnp.asarray(rng.randn(2, 64, 64, 19).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 19, size=(2, 64, 64)).astype(np.int32))
+    valid = jnp.asarray(np.arange(19) < 10)
+    ref, _ = losses.cross_entropy(logits, labels, valid)
+    got, _ = jax.jit(lambda x: ce_pallas.cross_entropy(x, labels, valid))(
+        logits)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-4)
+    g_ref = jax.grad(lambda x: losses.cross_entropy(x, labels, valid)[0])(
+        logits)
+    g_got = jax.jit(jax.grad(
+        lambda x: ce_pallas.cross_entropy(x, labels, valid)[0]))(logits)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=1e-5)

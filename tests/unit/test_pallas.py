@@ -145,3 +145,35 @@ def test_device_replay_buffer():
     # gathered rows are actual stored rows
     np.testing.assert_array_equal(
         np.asarray(imgs[0]), np.asarray(buf.images)[int(idx[0])])
+
+
+def test_ce_loss_matches_jnp():
+    from cl_tpu.pallas import ce_loss as ce_pallas
+
+    rng = np.random.RandomState(11)
+    logits = jnp.asarray(rng.randn(2, 8, 8, 5).astype(np.float32))
+    labels = rng.randint(0, 5, size=(2, 8, 8)).astype(np.int32)
+    labels[0, :2] = 255
+    labels_j = jnp.asarray(labels)
+    valid = jnp.asarray(np.array([True, True, True, False, False]))
+    ref, n_ref = losses.cross_entropy(logits, labels_j, valid)
+    got, n_got = ce_pallas.cross_entropy(logits, labels_j, valid)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    assert float(n_got) == float(n_ref)
+
+
+def test_ce_loss_gradient_matches_jnp():
+    from cl_tpu.pallas import ce_loss as ce_pallas
+
+    rng = np.random.RandomState(12)
+    logits = jnp.asarray(rng.randn(1, 8, 8, 7).astype(np.float32))
+    labels = rng.randint(0, 6, size=(1, 8, 8)).astype(np.int32)
+    labels[0, 0] = 255
+    labels_j = jnp.asarray(labels)
+    valid = jnp.asarray(np.arange(7) < 6)
+    g_ref = jax.grad(lambda x: losses.cross_entropy(x, labels_j, valid)[0])(
+        logits)
+    g_got = jax.grad(
+        lambda x: ce_pallas.cross_entropy(x, labels_j, valid)[0])(logits)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=1e-6)
