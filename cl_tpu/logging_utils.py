@@ -20,6 +20,11 @@ class EventLogger:
 
     def __init__(self, path: str = "", tensorboard_dir: str = ""):
         self.path = path
+        if path:
+            import os
+
+            os.makedirs(os.path.dirname(os.path.abspath(path)),
+                        exist_ok=True)
         self._fh = open(path, "a") if path else None
         self._tb = None
         self._tb_step = 0

@@ -57,19 +57,24 @@ def _ce_grad_kernel(x_ref, valid_ref, label_ref, pixmask_ref, scale_ref,
 
 
 def _prep(logits, labels, valid_classes, ignore_index):
+    # NO class-dim padding: a block may span the full (non-lane-multiple)
+    # class dim; padding C to 128 in HBM would blow activations up by
+    # 128/C (1.6 GB temps at 512², 19 classes). Rows pad only when P isn't
+    # a ROWS multiple (it is for all power-of-two image sizes).
     C = logits.shape[-1]
-    Cp = common.round_up(C, LANES)
     x = logits.astype(jnp.float32).reshape(-1, C)
     P = x.shape[0]
     Pp = common.round_up(P, ROWS)
-    x = jnp.pad(x, ((0, Pp - P), (0, Cp - C)))
-    valid = jnp.pad(valid_classes.astype(jnp.float32), (0, Cp - C))[None, :]
+    if Pp != P:
+        x = jnp.pad(x, ((0, Pp - P), (0, 0)))
+    valid = valid_classes.astype(jnp.float32)[None, :]
     lbl = labels.reshape(-1).astype(jnp.int32)
     pix = (lbl != ignore_index).astype(jnp.float32)
     lbl = jnp.where(lbl == ignore_index, 0, lbl)
-    lbl = jnp.pad(lbl, (0, Pp - P))[:, None]
-    pix = jnp.pad(pix, (0, Pp - P))[:, None]
-    return x, valid, lbl, pix, P, Pp, Cp
+    if Pp != P:
+        lbl = jnp.pad(lbl, (0, Pp - P))
+        pix = jnp.pad(pix, (0, Pp - P))
+    return x, valid, lbl[:, None], pix[:, None], P, Pp, C
 
 
 def _specs(Pp, Cp):

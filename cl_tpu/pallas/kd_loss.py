@@ -6,9 +6,10 @@ log-softmax intermediates. Custom VJP: the backward is the closed form
 T²/(n·T)·mask·(softmax(new)−softmax(old)) computed by a second fused
 kernel (old logits are a frozen snapshot → no gradient).
 
-Layout: [B,H,W,C] → [P, C] pixels×classes, C padded to a lane multiple
-with invalid classes masked to −1e9 (they drop out of both softmaxes),
-P tiled in row blocks; sequential-grid scalar accumulation.
+Layout: [B,H,W,C] → [P, C] pixels×classes, the full (non-lane-multiple)
+class dim per block with invalid classes masked to −1e9 (they drop out of
+both softmaxes), P tiled in row blocks; sequential-grid scalar
+accumulation; 1/T applied inside the kernel (no host-side logit copy).
 """
 
 from __future__ import annotations
@@ -31,7 +32,8 @@ def _log_softmax(x):
     return s - jnp.log(jnp.sum(jnp.exp(s), axis=-1, keepdims=True))
 
 
-def _kd_kernel(new_ref, old_ref, valid_ref, pixmask_ref, out_ref):
+def _kd_kernel(new_ref, old_ref, valid_ref, pixmask_ref, invt_ref,
+               out_ref):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -39,8 +41,9 @@ def _kd_kernel(new_ref, old_ref, valid_ref, pixmask_ref, out_ref):
         out_ref[0, 0] = jnp.float32(0.0)
 
     v = valid_ref[:]  # [1, C] f32 1/0
-    new_m = jnp.where(v > 0, new_ref[:], NEG_INF)
-    old_m = jnp.where(v > 0, old_ref[:], NEG_INF)
+    inv_t = invt_ref[0, 0]
+    new_m = jnp.where(v > 0, new_ref[:] * inv_t, NEG_INF)
+    old_m = jnp.where(v > 0, old_ref[:] * inv_t, NEG_INF)
     ls_new = _log_softmax(new_m)
     ls_old = _log_softmax(old_m)
     p_old = jnp.exp(ls_old)
@@ -49,10 +52,11 @@ def _kd_kernel(new_ref, old_ref, valid_ref, pixmask_ref, out_ref):
 
 
 def _kd_grad_kernel(new_ref, old_ref, valid_ref, pixmask_ref, scale_ref,
-                    out_ref):
+                    invt_ref, out_ref):
     v = valid_ref[:]
-    new_m = jnp.where(v > 0, new_ref[:], NEG_INF)
-    old_m = jnp.where(v > 0, old_ref[:], NEG_INF)
+    inv_t = invt_ref[0, 0]
+    new_m = jnp.where(v > 0, new_ref[:] * inv_t, NEG_INF)
+    old_m = jnp.where(v > 0, old_ref[:] * inv_t, NEG_INF)
     p_new = jnp.exp(_log_softmax(new_m))
     p_old = jnp.exp(_log_softmax(old_m))
     g = scale_ref[0, 0] * pixmask_ref[:] * (p_new - p_old)
@@ -61,18 +65,23 @@ def _kd_grad_kernel(new_ref, old_ref, valid_ref, pixmask_ref, scale_ref,
 
 def _prep(new_logits, old_logits, old_valid, labels, temperature,
           ignore_index):
+    # NO class padding (HBM blowup — see ce_loss._prep) and NO host-side
+    # /T (it would copy the full logit tensor): the kernel scales by the
+    # inverse temperature from SMEM.
     C = new_logits.shape[-1]
-    Cp = common.round_up(C, LANES)
-    new2 = new_logits.astype(jnp.float32).reshape(-1, C) / temperature
-    old2 = old_logits.astype(jnp.float32).reshape(-1, C) / temperature
+    new2 = new_logits.astype(jnp.float32).reshape(-1, C)
+    old2 = old_logits.astype(jnp.float32).reshape(-1, C)
     P = new2.shape[0]
     Pp = common.round_up(P, ROWS)
-    new2 = jnp.pad(new2, ((0, Pp - P), (0, Cp - C)))
-    old2 = jnp.pad(old2, ((0, Pp - P), (0, Cp - C)))
-    valid = jnp.pad(old_valid.astype(jnp.float32), (0, Cp - C))[None, :]
+    if Pp != P:
+        new2 = jnp.pad(new2, ((0, Pp - P), (0, 0)))
+        old2 = jnp.pad(old2, ((0, Pp - P), (0, 0)))
+    valid = old_valid.astype(jnp.float32)[None, :]
     pix = (labels.reshape(-1) != ignore_index).astype(jnp.float32)
-    pix = jnp.pad(pix, (0, Pp - P))[:, None]  # padded rows masked out
-    return new2, old2, valid, pix, P, Pp, Cp
+    if Pp != P:
+        pix = jnp.pad(pix, (0, Pp - P))
+    inv_t = jnp.full((1, 1), 1.0 / temperature, jnp.float32)
+    return new2, old2, valid, pix[:, None], inv_t, P, Pp, C
 
 
 def _specs(Pp: int, Cp: int):
@@ -105,18 +114,19 @@ def kd_loss(new_logits, old_logits, old_valid, labels, *, temperature,
 
 def _kd_impl(new_logits, old_logits, old_valid, labels, temperature,
              ignore_index):
-    new2, old2, valid, pix, P, Pp, Cp = _prep(
+    new2, old2, valid, pix, inv_t, P, Pp, Cp = _prep(
         new_logits, old_logits, old_valid, labels, temperature, ignore_index)
     row_spec, valid_spec, pix_spec, grid = _specs(Pp, Cp)
+    smem1 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     total = pl.pallas_call(
         _kd_kernel,
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         grid=grid,
-        in_specs=[row_spec, row_spec, valid_spec, pix_spec],
+        in_specs=[row_spec, row_spec, valid_spec, pix_spec, smem1],
         out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
         interpret=common.interpret_mode(),
-    )(new2, old2, valid, pix)[0, 0]
+    )(new2, old2, valid, pix, inv_t)[0, 0]
     n = jnp.maximum(jnp.sum(pix), 1.0)
     t2 = temperature * temperature
     return t2 * total / n, n
@@ -131,22 +141,21 @@ def _kd_fwd(new_logits, old_logits, old_valid, labels, temperature,
 
 def _kd_bwd(temperature, ignore_index, res, g):
     new_logits, old_logits, old_valid, labels = res
-    new2, old2, valid, pix, P, Pp, Cp = _prep(
+    new2, old2, valid, pix, inv_t, P, Pp, Cp = _prep(
         new_logits, old_logits, old_valid, labels, temperature, ignore_index)
     row_spec, valid_spec, pix_spec, grid = _specs(Pp, Cp)
     n = jnp.maximum(jnp.sum(pix), 1.0)
     # d loss/d new_logits = (T²/n)·(1/T)·mask·(p_new − p_old) = (T/n)·…
     scale = jnp.full((1, 1), g, jnp.float32) * temperature / n
+    smem1 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     dnew = pl.pallas_call(
         _kd_grad_kernel,
         out_shape=jax.ShapeDtypeStruct((Pp, Cp), jnp.float32),
         grid=grid,
-        in_specs=[row_spec, row_spec, valid_spec, pix_spec,
-                  pl.BlockSpec((1, 1), lambda i: (0, 0),
-                               memory_space=pltpu.SMEM)],
+        in_specs=[row_spec, row_spec, valid_spec, pix_spec, smem1, smem1],
         out_specs=row_spec,
         interpret=common.interpret_mode(),
-    )(new2, old2, valid, pix, scale)
+    )(new2, old2, valid, pix, scale, inv_t)
     import numpy as np
 
     C = new_logits.shape[-1]

@@ -56,6 +56,19 @@ def _dtype(cfg: Config):
     return jnp.bfloat16 if cfg.train.compute_dtype == "bfloat16" else jnp.float32
 
 
+def _augment(batch: "pipeline.HostBatch", d, compute_dtype,
+             use_pallas: bool):
+    """Device-side fused resize->flip->normalize (jnp or Pallas)."""
+    if use_pallas:
+        from cl_tpu.pallas import augment as augment_pallas
+        return augment_pallas.augment(
+            batch.image, batch.mask, batch.flip, out_size=d.image_size,
+            mean=d.mean, std=d.std, compute_dtype=compute_dtype)
+    return augment_lib.augment_jnp(
+        batch.image, batch.mask, batch.flip, out_size=d.image_size,
+        mean=d.mean, std=d.std, compute_dtype=compute_dtype)
+
+
 def build_model(cfg: Config, head_width: int | None = None) -> UNet:
     """``head_width`` overrides the padded full-width head — the
     grow-the-head variant (model.padded_head=False, SURVEY.md §7)."""
@@ -147,15 +160,7 @@ def make_train_step(cfg: Config, model: UNet, tx,
 
     def step(state: TrainState, batch: pipeline.HostBatch,
              valid_classes: jax.Array):
-        if use_pallas_batch:
-            from cl_tpu.pallas import augment as augment_pallas
-            x, y = augment_pallas.augment(
-                batch.image, batch.mask, batch.flip, out_size=d.image_size,
-                mean=d.mean, std=d.std, compute_dtype=compute_dtype)
-        else:
-            x, y = augment_lib.augment_jnp(
-                batch.image, batch.mask, batch.flip, out_size=d.image_size,
-                mean=d.mean, std=d.std, compute_dtype=compute_dtype)
+        x, y = _augment(batch, d, compute_dtype, use_pallas_batch)
 
         old = None
         if use_lwf:
@@ -224,11 +229,10 @@ def make_train_step(cfg: Config, model: UNet, tx,
 def make_eval_step(cfg: Config, model: UNet, mesh=None) -> Callable:
     d = cfg.data
     compute_dtype = _dtype(cfg)
+    use_pallas_batch = cfg.train.use_pallas and mesh is None
 
     def step(conf, params, model_state, batch, valid_classes):
-        x, y = augment_lib.augment_jnp(
-            batch.image, batch.mask, batch.flip, out_size=d.image_size,
-            mean=d.mean, std=d.std, compute_dtype=compute_dtype)
+        x, y = _augment(batch, d, compute_dtype, use_pallas_batch)
         logits = _pad_logits(
             model.apply({"params": params, **model_state}, x, train=False),
             d.num_classes)
@@ -277,9 +281,8 @@ def make_fisher_step(cfg: Config, model: UNet, mesh=None) -> Callable:
     use_pallas = cfg.train.use_pallas
 
     def step(fisher_acc, params, model_state, batch, valid_classes, rng):
-        x, y = augment_lib.augment_jnp(
-            batch.image, batch.mask, batch.flip, out_size=d.image_size,
-            mean=d.mean, std=d.std, compute_dtype=_dtype(cfg))
+        x, y = _augment(batch, d, _dtype(cfg),
+                        use_pallas and mesh is None)
         if use_pallas:
             from cl_tpu.pallas import ewc_fused
             grads = ewc_lib.fisher_batch_grads(
