@@ -144,27 +144,50 @@ def prefetch_to_device(
 
     q: queue.Queue = queue.Queue(maxsize=depth)
     err: list[BaseException] = []
+    stop = threading.Event()  # consumer abandoned the stream early
 
     def producer():
         try:
             for item in it:
                 put = jax.device_put(item, sharding) if sharding is not None \
                     else jax.device_put(item)
-                q.put(put)
+                while not stop.is_set():
+                    try:
+                        q.put(put, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # surfaced in consumer
             err.append(e)
         finally:
-            q.put(_SENTINEL)
+            try:
+                q.put_nowait(_SENTINEL)
+            except queue.Full:
+                pass
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            if err:
-                raise err[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item
+    finally:
+        # Early exit (e.g. the Fisher pass stops after N batches): unblock
+        # and retire the producer instead of leaking a thread holding
+        # device buffers.
+        stop.set()
+        while True:
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
+        t.join(timeout=5.0)
 
 
 def replay_mix(batch: HostBatch, replay_samples: HostBatch | None) -> HostBatch:

@@ -498,8 +498,10 @@ def train(cfg: Config) -> dict:
             ep_loss = float(np.mean(jax.device_get(losses_dev))) \
                 if losses_dev else 0.0
             ep_time = time.perf_counter() - t_ep
-            if not (task_id == start_task and epoch == 0):
-                # steady state: first epoch carries jit compilation
+            # Steady state only: the run's first epoch carries the jit
+            # compile; in grow mode every task's first epoch recompiles.
+            compiling = epoch == 0 and (task_id == start_task or grow)
+            if not compiling:
                 step_times.append((ep_time, n_steps))
             if profiling:
                 jax.profiler.stop_trace()
@@ -560,7 +562,9 @@ def train(cfg: Config) -> dict:
 def evaluate(cfg: Config, state: TrainState, task_id: int,
              seen_task: int | None = None) -> dict:
     """Public eval API (SURVEY.md §1 L4: ``evaluate(model, loader, task)``)."""
-    model = build_model(cfg)
+    width = state.params["head"]["kernel"].shape[-1]
+    model = build_model(
+        cfg, head_width=width if width != cfg.data.num_classes else None)
     eval_step = make_eval_step(cfg, model)
     seen_task = task_id if seen_task is None else seen_task
     seen = task_lib.seen_classes(cfg.classes_per_task, seen_task)
