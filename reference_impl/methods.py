@@ -107,6 +107,10 @@ class LwF:
         with torch.no_grad():
             old_logits = self.old_model(x)
         t = self.t
+        # grow-head mode: the snapshot's head is narrower; distill on the
+        # old-class columns only (same restriction as the padded-head
+        # old_valid mask)
+        new_logits = new_logits[:, :self.old_valid.shape[0]]
         new_m = mask_logits(new_logits, self.old_valid) / t
         old_m = mask_logits(old_logits, self.old_valid) / t
         p_old = F.softmax(old_m, dim=1)

@@ -55,15 +55,24 @@ def evaluate_task(cfg: Config, model, task_id: int, valid) -> dict:
             "per_class_iou": iou_from_confusion(conf).tolist()}
 
 
+def _make_opt(cfg: Config, model):
+    if cfg.train.optimizer == "adam":
+        return torch.optim.Adam(model.parameters(), lr=cfg.train.lr)
+    return torch.optim.SGD(model.parameters(), lr=cfg.train.lr,
+                           momentum=cfg.train.momentum)
+
+
+def _head_width(cfg: Config, task_id: int) -> int:
+    seen = task_lib.seen_classes(cfg.classes_per_task, task_id)
+    return max(seen) + 1
+
+
 def train(cfg: Config) -> dict:
     torch.manual_seed(cfg.train.seed)
-    model = UNet(cfg.data.num_classes, cfg.model.base_channels,
-                 cfg.model.depth)
-    if cfg.train.optimizer == "adam":
-        opt = torch.optim.Adam(model.parameters(), lr=cfg.train.lr)
-    else:
-        opt = torch.optim.SGD(model.parameters(), lr=cfg.train.lr,
-                              momentum=cfg.train.momentum)
+    grow = not cfg.model.padded_head
+    width0 = _head_width(cfg, 0) if grow else cfg.data.num_classes
+    model = UNet(width0, cfg.model.base_channels, cfg.model.depth)
+    opt = _make_opt(cfg, model)
 
     m = cfg.method
     ewc = EWC(mode=m.ewc_mode, gamma=m.ewc_gamma) if "ewc" in m.methods \
@@ -82,6 +91,14 @@ def train(cfg: Config) -> dict:
         seen = task_lib.seen_classes(splits, task_id)
         valid = torch.from_numpy(
             task_lib.valid_class_mask(cfg.data.num_classes, seen))
+        if grow:
+            w = _head_width(cfg, task_id)
+            if model.head.out_channels < w:
+                model.expand_head(w)
+                opt = _make_opt(cfg, model)  # param set changed
+                if ewc is not None:
+                    _pad_ewc_head(ewc, model)
+        wvalid = valid[:model.head.out_channels]
 
         for epoch in range(cfg.train.epochs_per_task):
             model.train()
@@ -93,7 +110,7 @@ def train(cfg: Config) -> dict:
                 t0 = time.perf_counter()
                 x, y = _to_torch(batch, cfg)
                 logits = model(x)
-                loss = cross_entropy(logits, y, valid,
+                loss = cross_entropy(logits, y, wvalid,
                                      cfg.data.ignore_index)
                 if ewc is not None:
                     loss = loss + m.ewc_lambda * ewc.penalty(model)
@@ -107,7 +124,7 @@ def train(cfg: Config) -> dict:
 
         for k in range(task_id + 1):
             miou_matrix[task_id, k] = evaluate_task(
-                cfg, model, k, valid)["miou"]
+                cfg, model, k, wvalid)["miou"]
 
         if ewc is not None and task_id < T - 1:
             model.eval()
@@ -115,12 +132,12 @@ def train(cfg: Config) -> dict:
                 _to_torch(b, cfg) for b in pipeline.train_batches(
                     cfg, task_id, epoch=10_000 + task_id))
             fisher = ewc.compute_fisher(
-                model, fisher_batches, valid,
+                model, fisher_batches, wvalid,
                 n_batches=m.ewc_fisher_batches,
                 ignore_index=cfg.data.ignore_index)
             ewc.after_task(model, fisher)
         if lwf is not None and task_id < T - 1:
-            lwf.after_task(model, valid)
+            lwf.after_task(model, wvalid)
         if replay is not None:
             train_ds, _ = pipeline.make_datasets(cfg, task_id)
             replay.add_examples(train_ds, max(1, m.replay_capacity // T),
@@ -134,3 +151,24 @@ def train(cfg: Config) -> dict:
                                     else 0)
         report["images_per_sec_per_chip"] = float(gb / np.median(st))
     return report
+
+
+def _pad_ewc_head(ewc, model) -> None:
+    """Zero-pad stored head anchors/Fishers to the grown width (mirrors
+    cl_tpu.models.unet.expand_head_zeros: no penalty on new classes)."""
+    def pad_dict(d):
+        for name, t in list(d.items()):
+            if not name.startswith("head."):
+                continue
+            cur = dict(model.named_parameters())[name]
+            if t.shape[0] < cur.shape[0]:
+                padded = torch.zeros_like(cur)
+                padded[:t.shape[0]] = t
+                d[name] = padded
+
+    if ewc.anchor is not None:
+        pad_dict(ewc.anchor)
+        pad_dict(ewc.fisher)
+    for a, f in zip(ewc.anchors, ewc.fishers):
+        pad_dict(a)
+        pad_dict(f)

@@ -58,3 +58,17 @@ class UNet(nn.Module):
             x = torch.cat([skips[level], x], dim=1)
             x = getattr(self, f"dec{level}")(x)
         return self.head(x)
+
+    def expand_head(self, new_width: int) -> None:
+        """Grow the 1×1 head, copying old-class weights exactly (the
+        reference's per-task head rebuild, SURVEY.md §3.1; mirrors
+        cl_tpu.models.unet.expand_head_params)."""
+        old = self.head
+        if new_width <= old.out_channels:
+            return
+        new = nn.Conv2d(old.in_channels, new_width, 1)
+        with torch.no_grad():
+            new.weight[:old.out_channels] = old.weight
+            new.bias[:old.out_channels] = old.bias
+            new.bias[old.out_channels:] = 0.0
+        self.head = new
