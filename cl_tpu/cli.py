@@ -51,6 +51,28 @@ def _run_eval(cfg) -> dict:
     return out
 
 
+def _run_predict(cfg) -> dict:
+    """Restore the latest checkpoint and write predicted masks for the
+    configured dataset's val split to ``<checkpoint_dir>/predictions/``."""
+    import os
+
+    import numpy as np
+
+    from cl_tpu import predict as predict_lib
+    from cl_tpu.data import pipeline
+
+    state, last_task = predict_lib.restore_for_inference(cfg)
+    _, val_ds = pipeline.make_datasets(cfg, last_task)
+    masks = predict_lib.predict_dataset(cfg, state, val_ds)
+    out_dir = os.path.join(cfg.train.checkpoint_dir, "predictions")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, f"task{last_task}_val_masks.npy")
+    np.save(path, masks)
+    return {"task": last_task, "n_images": int(masks.shape[0]),
+            "classes_present": sorted(int(c) for c in np.unique(masks)),
+            "out": path}
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] in ("-h", "--help"):
@@ -59,11 +81,14 @@ def main(argv: list[str] | None = None) -> int:
         print("presets:", ", ".join(sorted(PRESETS)))
         return 0
     mode = "train"
-    if argv and argv[0] in ("train", "eval"):
+    if argv and argv[0] in ("train", "eval", "predict"):
         mode, argv = argv[0], argv[1:]
     cfg = parse_overrides(argv)
     if mode == "eval":
         print(json.dumps(_run_eval(cfg), default=float))
+        return 0
+    if mode == "predict":
+        print(json.dumps(_run_predict(cfg), default=float))
         return 0
     from cl_tpu.train import train
 
