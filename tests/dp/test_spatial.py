@@ -1,0 +1,51 @@
+"""Spatial (halo-exchange) UNet forward vs the unsharded model —
+SURVEY.md §5.7's documented extension, validated on the virtual mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cl_tpu.models.unet import UNet, init_variables
+from cl_tpu.parallel import spatial
+
+
+def test_spatial_forward_matches_unsharded(eight_devices):
+    model = UNet(num_classes=4, base_channels=8, depth=4, norm="group")
+    v = init_variables(model, jax.random.PRNGKey(0), 128)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 128, 128, 3))
+    ref = model.apply(v, x, train=False)
+
+    mesh = spatial.make_space_mesh(8, devices=eight_devices)
+    got = spatial.spatial_apply(v["params"], x, mesh, depth=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_spatial_rejects_indivisible_height(eight_devices):
+    import pytest
+
+    model = UNet(num_classes=2, base_channels=8, depth=4, norm="group")
+    v = init_variables(model, jax.random.PRNGKey(0), 128)
+    mesh = spatial.make_space_mesh(8, devices=eight_devices)
+    with pytest.raises(ValueError, match="divide"):
+        spatial.spatial_apply(v["params"],
+                              jnp.zeros((1, 96, 96, 3)), mesh, depth=4)
+
+
+def test_halo_rows_zero_at_edges(eight_devices):
+    """Top shard's top halo and bottom shard's bottom halo are zeros —
+    the SAME-padding guarantee."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = spatial.make_space_mesh(4, devices=eight_devices[:4])
+    x = jnp.arange(1, 9, dtype=jnp.float32).reshape(1, 8, 1, 1) \
+        .repeat(2, axis=2)
+    fn = jax.shard_map(
+        lambda xs: spatial._halo_rows(xs, spatial.SPACE_AXIS),
+        mesh=mesh, in_specs=P(None, spatial.SPACE_AXIS),
+        out_specs=P(None, spatial.SPACE_AXIS))
+    out = np.asarray(fn(x))  # [1, 4*(2+2), 2, 1]
+    shards = out.reshape(4, 4, 2)[:, :, 0]
+    # shard i rows: [halo_top, row, row, halo_bottom]
+    np.testing.assert_allclose(shards[0], [0, 1, 2, 3])
+    np.testing.assert_allclose(shards[1], [2, 3, 4, 5])
+    np.testing.assert_allclose(shards[3], [6, 7, 8, 0])
