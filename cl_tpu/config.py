@@ -22,7 +22,7 @@ from typing import Any, Mapping
 class DataConfig:
     """Dataset + input-pipeline configuration (L1)."""
 
-    dataset: str = "synthetic"  # synthetic | voc_dir | cityscapes_dir
+    dataset: str = "synthetic"  # synthetic | synthetic_native | voc_dir | cityscapes_dir
     data_dir: str = ""  # directory layout root for *_dir datasets
     num_classes: int = 2  # global label-space size incl. background
     image_size: int = 128  # square H=W after resize
@@ -156,7 +156,7 @@ def _preset_baseline_1() -> Config:
 def _preset_baseline_2() -> Config:
     """UNet-64ch single-task 21-class VOC-style, 256², fused augmentation."""
     return Config(
-        data=DataConfig(dataset="synthetic", num_classes=21, image_size=256,
+        data=DataConfig(dataset="synthetic_native", num_classes=21, image_size=256,
                         source_size=320, batch_size=8,
                         train_images_per_task=128, val_images_per_task=32),
         model=ModelConfig(base_channels=64),
@@ -168,7 +168,7 @@ def _preset_baseline_2() -> Config:
 def _preset_baseline_3() -> Config:
     """2-task class-incremental, 512², EWC Fisher regularization."""
     return Config(
-        data=DataConfig(dataset="synthetic", num_classes=21, image_size=512,
+        data=DataConfig(dataset="synthetic_native", num_classes=21, image_size=512,
                         source_size=576, batch_size=8,
                         train_images_per_task=128, val_images_per_task=32),
         model=ModelConfig(base_channels=32),
@@ -180,7 +180,7 @@ def _preset_baseline_3() -> Config:
 def _preset_baseline_4() -> Config:
     """5-task incremental 19-class Cityscapes-style, LwF + replay, 512²."""
     return Config(
-        data=DataConfig(dataset="synthetic", num_classes=19, image_size=512,
+        data=DataConfig(dataset="synthetic_native", num_classes=19, image_size=512,
                         source_size=576, batch_size=8,
                         train_images_per_task=128, val_images_per_task=32),
         model=ModelConfig(base_channels=32),
@@ -192,7 +192,7 @@ def _preset_baseline_4() -> Config:
 def _preset_baseline_5() -> Config:
     """Full continual (EWC+LwF+replay), data-parallel v5e-8, bf16, 512²."""
     return Config(
-        data=DataConfig(dataset="synthetic", num_classes=19, image_size=512,
+        data=DataConfig(dataset="synthetic_native", num_classes=19, image_size=512,
                         source_size=576, batch_size=64,  # 8 per chip on v5e-8
                         train_images_per_task=256, val_images_per_task=64),
         model=ModelConfig(base_channels=32),
