@@ -162,10 +162,15 @@ def prefetch_to_device(
         except BaseException as e:  # surfaced in consumer
             err.append(e)
         finally:
-            try:
-                q.put_nowait(_SENTINEL)
-            except queue.Full:
-                pass
+            # The sentinel MUST be delivered (a put_nowait dropped under a
+            # full queue leaves the consumer blocked in q.get() forever);
+            # block with the same stop-aware retry as normal items.
+            while not stop.is_set():
+                try:
+                    q.put(_SENTINEL, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()

@@ -70,6 +70,30 @@ def test_prefetch_propagates_producer_error():
         list(pipeline.prefetch_to_device(gen(), depth=2))
 
 
+def test_prefetch_sentinel_survives_full_queue():
+    """Regression: the producer's end-of-stream sentinel must be delivered
+    even when the queue is full at iterator exhaustion (a dropped sentinel
+    leaves the consumer blocked in q.get() forever — hit by the Fisher
+    pass, whose slow consumer keeps the depth-1 queue full)."""
+    import threading
+    import time
+
+    done = threading.Event()
+    got = []
+
+    def consume():
+        it = pipeline.prefetch_to_device(iter(range(3)), depth=1)
+        for x in it:
+            got.append(int(np.asarray(x)))
+            time.sleep(0.3)  # queue is full when the producer finishes
+        done.set()
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    assert done.wait(timeout=20.0), "prefetch consumer hung (lost sentinel)"
+    assert got == [0, 1, 2]
+
+
 def test_replay_mix_concatenates():
     from cl_tpu.data.pipeline import HostBatch, replay_mix
 
