@@ -35,7 +35,7 @@ def _resize_constants(src: int, dst: int):
 
 def augment_jnp(
     image_u8: jax.Array,  # uint8 [B, S, S, 3]
-    mask: jax.Array,      # int32 [B, S, S]
+    mask: jax.Array,      # uint8 [B, S, S]
     flip: jax.Array,      # bool  [B]
     *,
     out_size: int,
@@ -51,7 +51,7 @@ def augment_jnp(
     # Separable bilinear resize as two MXU matmuls (square images: Rv == Rh).
     x = jnp.einsum("os,bstc->botc", r, x)
     x = jnp.einsum("pt,botc->bopc", r, x)
-    y = mask[:, nn_idx][:, :, nn_idx]
+    y = mask[:, nn_idx][:, :, nn_idx].astype(jnp.int32)
 
     # Horizontal flip (after resize — the reference order, SURVEY.md §2.1).
     fl = flip[:, None, None]

@@ -29,7 +29,9 @@ class HostBatch(NamedTuple):
     """One batch as produced on the host (numpy, source resolution)."""
 
     image: np.ndarray  # uint8 [B, S, S, 3]
-    mask: np.ndarray   # int32 [B, S, S] (remapped labels; 255 ignore)
+    mask: np.ndarray   # uint8 [B, S, S] (remapped labels; 255 ignore)
+    #                    uint8 (not int32): the mask is 4x the class-id
+    #                    payload and rides host->HBM every step
     flip: np.ndarray   # bool  [B] horizontal-flip decision
 
 
@@ -66,7 +68,7 @@ def batches(
             np.zeros(batch_size, dtype=bool)
         yield HostBatch(
             image=image,
-            mask=masks.astype(np.int32),
+            mask=masks.astype(np.uint8),
             flip=flip.astype(bool),
         )
 

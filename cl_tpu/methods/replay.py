@@ -39,7 +39,7 @@ class ReplayBuffer:
         take = self.rng.permutation(len(dataset))[:n]
         for i in take:
             img, mask = dataset[int(i)]
-            item = (img.copy(), mask.astype(np.int32), task_id)
+            item = (img.copy(), mask.astype(np.uint8), task_id)
             if len(self.images) < self.capacity:
                 self.images.append(item[0])
                 self.masks.append(item[1])
@@ -84,7 +84,7 @@ class ReplayBuffer:
             "images": np.stack(self.images) if self.images else
                       np.zeros((0,), np.uint8),
             "masks": np.stack(self.masks) if self.masks else
-                     np.zeros((0,), np.int32),
+                     np.zeros((0,), np.uint8),
             "task_ids": np.asarray(self.task_ids, np.int32),
             "seen": self._seen,
             "rng_state": self.rng.get_state(),

@@ -65,7 +65,7 @@ def _mask_kernel(mask_ref, flip_ref, sv_ref, svf_ref, out_ref):
     b = pl.program_id(0)
     flip = flip_ref[b, 0] != 0
     sh = jax.lax.cond(flip, lambda: svf_ref[:], lambda: sv_ref[:])
-    m = mask_ref[0].astype(jnp.float32)
+    m = mask_ref[0].astype(jnp.int32).astype(jnp.float32)
     am = jnp.dot(sv_ref[:], m, preferred_element_type=jnp.float32)
     ym = jax.lax.dot_general(
         am, sh, (((1,), (1,)), ((), ())),

@@ -88,7 +88,7 @@ def gather(buffer: jax.Array, indices: jax.Array) -> jax.Array:
 
 
 class DeviceReplayBuffer:
-    """HBM-resident fixed-capacity replay store (images uint8 + masks i32).
+    """HBM-resident fixed-capacity replay store (images + masks uint8).
 
     Mirrors the host ``ReplayBuffer`` sampling semantics (same seeded
     RandomState stream for indices) but keeps storage and gather on device.
@@ -102,7 +102,7 @@ class DeviceReplayBuffer:
         self.images = jnp.zeros((capacity, source_size, source_size, 3),
                                 jnp.uint8)
         self.masks = jnp.full((capacity, source_size, source_size), 255,
-                              jnp.int32)
+                              jnp.uint8)
         self.count = 0
         self._seen = 0
         self.rng = np.random.RandomState(seed)
@@ -129,7 +129,7 @@ class DeviceReplayBuffer:
                 continue
             img, mask = dataset[int(i)]
             imgs.append(img)
-            msks.append(mask.astype(np.int32))
+            msks.append(mask.astype(np.uint8))
             slots.append(slot)
         if not slots:
             return
