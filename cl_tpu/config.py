@@ -92,6 +92,8 @@ class TrainConfig:
     profile_dir: str = ""  # jax.profiler trace output; empty = off
     fail_after_task: int = -1  # test-only fault injection (SURVEY.md §5.3)
     data_parallel: bool = True  # shard batch over all visible devices
+    multihost: bool = False  # jax.distributed.initialize() for multi-host
+    #                          slices (one process per host; SURVEY.md §2.4)
     use_pallas: bool = True  # fused kernels; False = pure-jnp fallbacks
 
 
@@ -111,7 +113,7 @@ class Config:
     # flag must still match the stored hash.
     _HASH_EXCLUDE = ("checkpoint_dir", "resume", "log_path", "profile_dir",
                      "tensorboard_dir",
-                     "fail_after_task")
+                     "fail_after_task", "multihost")
 
     def config_hash(self) -> str:
         """Stable hash stored in checkpoints and logs (SURVEY.md §5.6)."""

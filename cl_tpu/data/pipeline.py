@@ -136,12 +136,11 @@ def prefetch_to_device(
     overlap the previous step's compute (the double-buffer requirement,
     BASELINE.json:5). Falls back to synchronous iteration for depth<=0.
     """
-    import jax
+    from cl_tpu.sharding import put_global_batch
 
     if depth <= 0:
         for item in it:
-            yield jax.device_put(item, sharding) if sharding is not None \
-                else jax.device_put(item)
+            yield put_global_batch(item, sharding)
         return
 
     q: queue.Queue = queue.Queue(maxsize=depth)
@@ -151,8 +150,7 @@ def prefetch_to_device(
     def producer():
         try:
             for item in it:
-                put = jax.device_put(item, sharding) if sharding is not None \
-                    else jax.device_put(item)
+                put = put_global_batch(item, sharding)
                 while not stop.is_set():
                     try:
                         q.put(put, timeout=0.1)

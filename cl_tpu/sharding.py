@@ -45,6 +45,66 @@ def check_divisible(global_batch: int, mesh: Mesh) -> None:
 
 
 # ---------------------------------------------------------------------------
+# Multi-controller readiness (SURVEY.md §2.4 "multi-controller-ready driver
+# structure", §5.8). A v5e-8 slice is single-host (ICI only, no DCN), so
+# nothing in the acceptance ladder needs this; on a multi-host slice the
+# driver runs one process per host and the two helpers below are the only
+# points where process topology matters: startup, and host→HBM puts.
+# ---------------------------------------------------------------------------
+
+
+def initialize_multihost() -> None:
+    """Idempotent ``jax.distributed.initialize()`` (TPU pods autodetect the
+    coordinator from the runtime env). Must run before the first device
+    query; single-process runs skip it."""
+    import jax.distributed as jdist
+
+    state = getattr(jdist, "global_state", None)
+    if state is not None and getattr(state, "client", None) is not None:
+        return  # already initialized
+    try:
+        jdist.initialize()
+    except (ValueError, RuntimeError):
+        # single-process / no coordinator env: run as one controller
+        pass
+
+
+def process_local_rows(n_global: int) -> slice:
+    """Row range of the global batch this process feeds. Processes hold
+    equal contiguous row blocks in process-index order (the layout
+    ``jax.make_array_from_process_local_data`` expects for a batch sharded
+    on the leading axis)."""
+    n_proc = jax.process_count()
+    if n_global % n_proc:
+        raise ValueError(
+            f"global batch {n_global} not divisible by {n_proc} processes")
+    per = n_global // n_proc
+    i = jax.process_index()
+    return slice(i * per, (i + 1) * per)
+
+
+def put_global_batch(batch, sharding, *, force_local_api: bool = False):
+    """Host→HBM put of a (numpy) batch pytree under ``sharding``.
+
+    Single-controller: one ``jax.device_put`` (the fast path; XLA splits the
+    host buffer across the local shards). Multi-controller: every process
+    computes the same seeded global batch (host work is duplicated — cheap
+    at this scale and keeps the data layer deterministic, SURVEY.md §6) and
+    contributes only its local rows via
+    ``jax.make_array_from_process_local_data``.
+    """
+    if sharding is None:
+        return jax.device_put(batch)
+    if jax.process_count() == 1 and not force_local_api:
+        return jax.device_put(batch, sharding)
+    rows = process_local_rows(jax.tree.leaves(batch)[0].shape[0])
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)[rows]),
+        batch)
+
+
+# ---------------------------------------------------------------------------
 # N-D readiness (SURVEY.md §2.3 TP row): nothing in the acceptance ladder
 # needs tensor parallelism (the UNet fits one chip), but the mesh and the
 # param-sharding rules below let a 2-D ('data','model') layout shard conv

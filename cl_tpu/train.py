@@ -388,6 +388,10 @@ def train(cfg: Config) -> dict:
 
     logger = EventLogger(cfg.train.log_path,
                          cfg.train.tensorboard_dir)
+    if cfg.train.multihost:
+        # Multi-host slice: one controller process per host (SURVEY.md
+        # §2.4); must run before the first device query below.
+        sharding.initialize_multihost()
     mesh = None
     if cfg.train.data_parallel and len(jax.devices()) > 1:
         mesh = sharding.make_mesh()

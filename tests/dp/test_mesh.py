@@ -69,6 +69,25 @@ def test_check_divisible():
         sharding.check_divisible(6, mesh)
 
 
+def test_put_global_batch_local_api_matches_device_put(eight_devices):
+    """Multi-controller readiness (SURVEY.md §2.4): the
+    make_array_from_process_local_data path must place the same values with
+    the same sharding as the single-controller device_put fast path (with
+    process_count=1 the local rows are the whole batch)."""
+    mesh = sharding.make_mesh(eight_devices)
+    spec = sharding.batch_sharding(mesh)
+    batch = pipeline.HostBatch(
+        image=np.arange(16 * 4 * 4 * 3, dtype=np.uint8).reshape(16, 4, 4, 3),
+        mask=np.arange(16 * 4 * 4, dtype=np.uint8).reshape(16, 4, 4) % 7,
+        flip=(np.arange(16) % 2).astype(bool))
+    fast = sharding.put_global_batch(batch, spec)
+    local = sharding.put_global_batch(batch, spec, force_local_api=True)
+    for f, l in zip(jax.tree.leaves(fast), jax.tree.leaves(local)):
+        assert l.sharding.is_equivalent_to(f.sharding, f.ndim)
+        np.testing.assert_array_equal(np.asarray(f), np.asarray(l))
+    assert sharding.process_local_rows(16) == slice(0, 16)
+
+
 def test_2d_mesh_channel_sharded_forward(eight_devices):
     """TP readiness (SURVEY.md §2.3): conv channels sharded over the model
     axis of a 2x4 mesh produce the same logits as replicated params."""
