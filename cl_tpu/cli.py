@@ -73,6 +73,21 @@ def _run_predict(cfg) -> dict:
             "out": path}
 
 
+def _run_plot(cfg) -> dict:
+    """Render matplotlib curves from the run's JSONL log (SURVEY.md §2.1
+    Logging) into ``<log dir>/plots/`` (or ``<checkpoint_dir>/plots/``)."""
+    import os
+
+    from cl_tpu import plots
+
+    if not cfg.train.log_path:
+        raise SystemExit("plot needs train.log_path=<run.jsonl>")
+    base = cfg.train.checkpoint_dir or os.path.dirname(
+        os.path.abspath(cfg.train.log_path))
+    out_dir = os.path.join(base, "plots")
+    return {"written": plots.plot_run(cfg.train.log_path, out_dir)}
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = sys.argv[1:] if argv is None else argv
     if argv and argv[0] in ("-h", "--help"):
@@ -81,7 +96,7 @@ def main(argv: list[str] | None = None) -> int:
         print("presets:", ", ".join(sorted(PRESETS)))
         return 0
     mode = "train"
-    if argv and argv[0] in ("train", "eval", "predict"):
+    if argv and argv[0] in ("train", "eval", "predict", "plot"):
         mode, argv = argv[0], argv[1:]
     cfg = parse_overrides(argv)
     if mode == "eval":
@@ -89,6 +104,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     if mode == "predict":
         print(json.dumps(_run_predict(cfg), default=float))
+        return 0
+    if mode == "plot":
+        print(json.dumps(_run_plot(cfg), default=float))
         return 0
     from cl_tpu.train import train
 
