@@ -138,7 +138,16 @@ def main() -> int:
             json.dump(cache, f)
     baseline = cache[key]
 
-    value = bench_jax(img, src)
+    # The device relay on this box occasionally drops a program with a
+    # transient FAILED_PRECONDITION; one retry distinguishes that from a
+    # real failure.
+    try:
+        value = bench_jax(img, src)
+    except Exception as e:
+        print(f"# bench_jax failed ({type(e).__name__}: {e}); retrying once",
+              file=sys.stderr)
+        time.sleep(10)
+        value = bench_jax(img, src)
     print(json.dumps({
         "metric": f"train_images_per_sec_per_chip_unet{BASE_CH}_{img}px_bf16",
         "value": round(value, 2),
