@@ -10,8 +10,17 @@ task; resume continues at task+1. Here one directory per task
   * ``meta.json``   — task id, config hash, mIoU matrix so far.
 
 Restore reproduces the remaining-task trajectory exactly (resume gate,
-SURVEY.md §4.4). Saves run through a synchronous checkpointer; the driver
-calls it between tasks, off the step-time critical path.
+SURVEY.md §4.4).
+
+Saves are ASYNC by default (SURVEY.md §5.4 "async save off the critical
+path"): ``jax.device_get`` is the only synchronous part; serialization and
+disk writes overlap the next task's training. ``meta.json`` — whose
+presence marks a task checkpoint complete for ``latest_task`` — is written
+by a finalizer thread only after the state commit finishes, so a crash
+mid-save can never yield a resumable-looking but partial checkpoint.
+``wait_for_saves()`` is the barrier: the driver calls it at run end (and
+on the fault-injection exit path), and it runs implicitly before any new
+save or restore.
 """
 
 from __future__ import annotations
@@ -19,6 +28,7 @@ from __future__ import annotations
 import json
 import os
 import pickle
+import threading
 
 import jax
 import numpy as np
@@ -26,33 +36,74 @@ import orbax.checkpoint as ocp
 
 from cl_tpu.config import Config
 
+_ASYNC_CKPTR: ocp.AsyncCheckpointer | None = None
+_PENDING: list[threading.Thread] = []
+_ERRORS: list[BaseException] = []
+
+
+def _get_async() -> ocp.AsyncCheckpointer:
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_saves() -> None:
+    """Block until every in-flight checkpoint (state + meta) is on disk;
+    re-raise the first failure. Idempotent."""
+    while _PENDING:
+        t = _PENDING.pop()
+        t.join()
+    if _ERRORS:
+        raise _ERRORS.pop()
+
 
 def _task_dir(cfg: Config, task_id: int) -> str:
     return os.path.join(os.path.abspath(cfg.train.checkpoint_dir),
                         f"task_{task_id}")
 
 
+def _write_sidecars(d: str, replay_sd, meta: dict) -> None:
+    if replay_sd is not None:
+        with open(os.path.join(d, "replay.pkl"), "wb") as f:
+            pickle.dump(replay_sd, f)
+    # meta.json last: its presence marks the checkpoint complete.
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
 def save_task(cfg: Config, state, replay, task_id: int,
-              miou_matrix: np.ndarray) -> str:
+              miou_matrix: np.ndarray, *, block: bool = False) -> str:
+    wait_for_saves()  # one in-flight save at a time (tasks are sequential)
     d = _task_dir(cfg, task_id)
     os.makedirs(d, exist_ok=True)
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(os.path.join(d, "state"),
-                   jax.device_get(state), force=True)
-    if replay is not None:
-        with open(os.path.join(d, "replay.pkl"), "wb") as f:
-            pickle.dump(replay.state_dict(), f)
+    state_np = jax.device_get(state)
+    replay_sd = replay.state_dict() if replay is not None else None
     meta = {
         "task_id": task_id,
         "config_hash": cfg.config_hash(),
         "miou_matrix": np.asarray(miou_matrix).tolist(),
     }
-    with open(os.path.join(d, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    ckptr = _get_async()
+    ckptr.save(os.path.join(d, "state"), state_np, force=True)
+
+    def finalize():
+        try:
+            ckptr.wait_until_finished()
+            _write_sidecars(d, replay_sd, meta)
+        except BaseException as e:  # surfaced by wait_for_saves
+            _ERRORS.append(e)
+
+    t = threading.Thread(target=finalize, daemon=True)
+    t.start()
+    _PENDING.append(t)
+    if block:
+        wait_for_saves()
     return d
 
 
 def latest_task(cfg: Config) -> int | None:
+    wait_for_saves()
     root = os.path.abspath(cfg.train.checkpoint_dir)
     if not os.path.isdir(root):
         return None
@@ -65,6 +116,7 @@ def latest_task(cfg: Config) -> int | None:
 
 
 def restore_task(cfg: Config, template_state, replay, task_id: int):
+    wait_for_saves()
     d = _task_dir(cfg, task_id)
     with open(os.path.join(d, "meta.json")) as f:
         meta = json.load(f)

@@ -544,9 +544,14 @@ def train(cfg: Config) -> dict:
                    seconds=time.perf_counter() - t_task)
 
         if cfg.train.fail_after_task == task_id:
+            # Flush the async checkpoint before dying so the resume test
+            # sees a complete task_{t} directory (SURVEY.md §5.3).
+            ckpt_lib.wait_for_saves()
             raise RuntimeError(
                 f"fault injection: fail_after_task={task_id}")
 
+    # Barrier for the last task's async checkpoint (SURVEY.md §5.4).
+    ckpt_lib.wait_for_saves()
     report = metrics.forgetting_report(miou_matrix)
     report["config_hash"] = cfg.config_hash()
     if step_times:

@@ -48,6 +48,30 @@ def test_refuses_cross_config_resume(tmp_path):
         ckpt_lib.restore_latest(other, state, None)
 
 
+def test_async_save_barrier(tmp_path):
+    """Async per-task saves (SURVEY.md §5.4): save_task returns without
+    blocking on serialization; wait_for_saves() is the barrier after which
+    meta.json (the completeness marker) must exist; latest_task flushes
+    implicitly."""
+    import os
+
+    from cl_tpu import checkpoint as ckpt_lib
+    from cl_tpu.train import build_model, build_optimizer, init_state
+
+    cfg = parse_overrides(_args(str(tmp_path / "ckpt")))
+    model = build_model(cfg)
+    state = init_state(cfg, model, build_optimizer(cfg))
+    miou = np.full((2, 2), np.nan)
+    d = ckpt_lib.save_task(cfg, state, None, 0, miou)
+    assert ckpt_lib.latest_task(cfg) == 0  # implicit flush
+    assert os.path.exists(os.path.join(d, "meta.json"))
+    restored = ckpt_lib.restore_task(cfg, state, None, 0)
+    for a, b in zip(np.asarray(restored[0].params["head"]["kernel"]),
+                    np.asarray(state.params["head"]["kernel"])):
+        np.testing.assert_array_equal(a, b)
+    ckpt_lib.wait_for_saves()  # idempotent
+
+
 def test_device_resident_replay_run(tmp_path):
     """End-to-end 2-task run with the HBM-resident replay buffer
     (falls back to XLA gather on CPU; same semantics)."""
