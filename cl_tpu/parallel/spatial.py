@@ -19,8 +19,11 @@ than HBM:
 
 It consumes the STANDARD ``UNet.init`` params pytree — same weights, same
 math; ``spatial_apply`` == ``model.apply`` to float tolerance (tested on
-the virtual 8-device mesh). Hot path stays XLA convs on the MXU; the halos
-ride ICI.
+the virtual 8-device mesh). The path is differentiable end-to-end:
+``jax.grad`` through the shard_map (ppermute halo transposes + psum'd
+GroupNorm stats) reproduces the unsharded model's parameter gradients
+(tested), so resolutions beyond one chip's HBM can TRAIN, not just infer.
+Hot path stays XLA convs on the MXU; the halos ride ICI.
 """
 
 from __future__ import annotations

@@ -20,6 +20,34 @@ def test_spatial_forward_matches_unsharded(eight_devices):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
 
 
+def test_spatial_grads_match_unsharded(eight_devices):
+    """The spatial path trains, not just infers: jax.grad through the
+    shard_map (halo-exchange ppermute transposes + psum'd GroupNorm stats)
+    must produce the same parameter gradients as the unsharded model."""
+    from cl_tpu import losses
+
+    model = UNet(num_classes=4, base_channels=8, depth=2, norm="group")
+    v = init_variables(model, jax.random.PRNGKey(0), 64)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 3))
+    y = jax.random.randint(jax.random.PRNGKey(2), (2, 64, 64), 0, 4)
+    valid = jnp.ones(4, bool)
+
+    def loss_ref(p):
+        logits = model.apply({"params": p}, x, train=False)
+        return losses.cross_entropy(logits, y, valid)[0]
+
+    mesh = spatial.make_space_mesh(8, devices=eight_devices)
+
+    def loss_sp(p):
+        logits = spatial.spatial_apply(p, x, mesh, depth=2)
+        return losses.cross_entropy(logits, y, valid)[0]
+
+    g_ref = jax.grad(loss_ref)(v["params"])
+    g_sp = jax.grad(loss_sp)(v["params"])
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_sp)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+
+
 def test_spatial_rejects_indivisible_height(eight_devices):
     import pytest
 
