@@ -67,6 +67,22 @@ class DirectorySegDataset:
     def __len__(self) -> int:
         return len(self.items)
 
+    def get_batch(self, indices):
+        """Threaded decode of one batch (the reference DataLoader's
+        num_workers analogue; PIL decode releases the GIL). Used by the
+        pipeline fast path when present."""
+        import concurrent.futures as cf
+        import numpy as np
+
+        if len(indices) < 2:
+            pairs = [self[int(i)] for i in indices]
+        else:
+            with cf.ThreadPoolExecutor(
+                    max_workers=min(8, len(indices))) as ex:
+                pairs = list(ex.map(lambda i: self[int(i)], indices))
+        return (np.stack([p[0] for p in pairs]),
+                np.stack([p[1] for p in pairs]))
+
     def __getitem__(self, i: int):
         img_path, mask_path = self.items[i]
         img = self._load_image(img_path)
