@@ -61,7 +61,6 @@ def _host_batches(img: int, src: int, n: int):
 
 
 def bench_jax(img: int, src: int) -> float:
-    import jax
     import jax.numpy as jnp
 
     from cl_tpu import train as train_lib

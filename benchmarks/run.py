@@ -69,6 +69,12 @@ def run_config(name: str, *, quick: bool, with_torch: bool) -> dict:
         out["torch_mean_final_miou"] = tr["mean_final_miou"]
         out["torch_images_per_sec"] = tr.get("images_per_sec_per_chip")
         out["miou_delta"] = out["mean_final_miou"] - tr["mean_final_miou"]
+        # The two frameworks initialize independently here, so miou_delta
+        # carries init noise (large on quick shapes); the 0.5-pt parity
+        # acceptance gate is measured from SHARED initial weights in
+        # tests/parity/test_endtoend.py.
+        out["note"] = ("independent inits; shared-weights parity gated "
+                       "in tests/parity")
         if tr.get("images_per_sec_per_chip"):
             out["speedup_vs_torch_cpu"] = (
                 out["images_per_sec_per_chip"] / tr["images_per_sec_per_chip"])

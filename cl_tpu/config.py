@@ -11,7 +11,7 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 import json
-from typing import Any, Mapping
+from typing import Any
 
 # ---------------------------------------------------------------------------
 # Config dataclasses

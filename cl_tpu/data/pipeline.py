@@ -22,7 +22,6 @@ import numpy as np
 
 from cl_tpu.config import Config
 from cl_tpu.data import synthetic
-from cl_tpu.data import tasks as task_lib
 
 
 class HostBatch(NamedTuple):

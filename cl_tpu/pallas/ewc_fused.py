@@ -19,8 +19,6 @@ sequentially so accumulation into the (1,1) output block is safe.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

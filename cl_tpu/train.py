@@ -19,7 +19,6 @@ TPU-native design:
 
 from __future__ import annotations
 
-import dataclasses
 import time
 from typing import Any, Callable
 

@@ -2,8 +2,6 @@
 the JAX framework and the torch-CPU oracle train on the SAME data stream
 from the SAME initial weights; per-task mIoU must agree within 0.5 pts."""
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -90,8 +88,6 @@ def test_finetune_miou_parity():
 def test_first_step_loss_parity():
     """Tighter probe: the very first training-step loss must match to 1e-4
     (same weights, same batch, same CE arithmetic)."""
-    import torch.nn.functional as F
-
     from cl_tpu import train as train_lib
     from cl_tpu.data import pipeline, tasks as task_lib
     from reference_impl.methods import cross_entropy

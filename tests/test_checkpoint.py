@@ -2,8 +2,6 @@
 §4.4, §5.3-5.4). The resumed run must reproduce the uninterrupted run's
 remaining-task mIoU exactly."""
 
-import dataclasses
-
 import numpy as np
 import pytest
 

@@ -1,6 +1,6 @@
 import pytest
 
-from cl_tpu.config import Config, PRESETS, get_preset, parse_overrides
+from cl_tpu.config import PRESETS, get_preset, parse_overrides
 
 
 def test_all_presets_construct():

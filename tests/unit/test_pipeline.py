@@ -43,8 +43,6 @@ def test_val_batches_unshuffled_unflipped():
 
 
 def test_prefetch_preserves_order_and_values(eight_devices):
-    import jax
-
     cfg = get_preset("smoke")
     host = _collect(pipeline.train_batches(cfg, 0, epoch=0))
     dev = list(pipeline.prefetch_to_device(iter(host), depth=2))

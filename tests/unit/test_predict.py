@@ -1,6 +1,5 @@
 """Inference API: shapes, determinism, class masking, CLI round trip."""
 
-import json
 
 import numpy as np
 
