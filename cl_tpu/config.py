@@ -95,6 +95,14 @@ class TrainConfig:
     multihost: bool = False  # jax.distributed.initialize() for multi-host
     #                          slices (one process per host; SURVEY.md §2.4)
     use_pallas: bool = True  # fused kernels; False = pure-jnp fallbacks
+    # Augment kernel choice. Standalone at 576->512 the jnp einsum resize
+    # (one big MXU matmul over all image-channels) measured 17.5 ms vs the
+    # per-(image,channel) pallas programs' 27.8 ms; inside the full fused
+    # step both give the same step time (XLA overlaps augment with the
+    # model), so jnp is the default — identical math, identical speed,
+    # fewer programs to compile, and it partitions under DP. The kernel
+    # stays available behind this flag.
+    pallas_augment: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -145,6 +145,9 @@ def make_train_step(cfg: Config, model: UNet, tx,
     # it. The jnp paths partition cleanly, so they win under DP; the
     # EWC kernels stay pallas (params are replicated — no resharding).
     use_pallas_batch = use_pallas and mesh is None
+    # Augment is gated separately: the jnp einsum resize outruns the
+    # per-(image,channel) pallas programs (see TrainConfig.pallas_augment).
+    use_pallas_aug = use_pallas_batch and cfg.train.pallas_augment
     compute_dtype = _dtype(cfg)
     d = cfg.data
 
@@ -159,7 +162,7 @@ def make_train_step(cfg: Config, model: UNet, tx,
 
     def step(state: TrainState, batch: pipeline.HostBatch,
              valid_classes: jax.Array):
-        x, y = _augment(batch, d, compute_dtype, use_pallas_batch)
+        x, y = _augment(batch, d, compute_dtype, use_pallas_aug)
 
         old = None
         if use_lwf:
@@ -228,10 +231,11 @@ def make_train_step(cfg: Config, model: UNet, tx,
 def make_eval_step(cfg: Config, model: UNet, mesh=None) -> Callable:
     d = cfg.data
     compute_dtype = _dtype(cfg)
-    use_pallas_batch = cfg.train.use_pallas and mesh is None
+    use_pallas_aug = (cfg.train.use_pallas and mesh is None
+                      and cfg.train.pallas_augment)
 
     def step(conf, params, model_state, batch, valid_classes):
-        x, y = _augment(batch, d, compute_dtype, use_pallas_batch)
+        x, y = _augment(batch, d, compute_dtype, use_pallas_aug)
         logits = _pad_logits(
             model.apply({"params": params, **model_state}, x, train=False),
             d.num_classes)
@@ -281,7 +285,8 @@ def make_fisher_step(cfg: Config, model: UNet, mesh=None) -> Callable:
 
     def step(fisher_acc, params, model_state, batch, valid_classes, rng):
         x, y = _augment(batch, d, _dtype(cfg),
-                        use_pallas and mesh is None)
+                        use_pallas and mesh is None
+                        and cfg.train.pallas_augment)
         if use_pallas:
             from cl_tpu.pallas import ewc_fused
             grads = ewc_lib.fisher_batch_grads(
