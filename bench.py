@@ -138,11 +138,15 @@ def main() -> int:
     baseline = cache[key]
 
     # The device relay on this box occasionally drops a program with a
-    # transient FAILED_PRECONDITION; one retry distinguishes that from a
-    # real failure.
+    # transient runtime error; retry once on THOSE signatures only —
+    # deterministic failures (OOM, shape errors) surface immediately.
+    _TRANSIENT = ("FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+                  "INTERNAL")
     try:
         value = bench_jax(img, src)
     except Exception as e:
+        if not any(s in str(e) for s in _TRANSIENT):
+            raise
         print(f"# bench_jax failed ({type(e).__name__}: {e}); retrying once",
               file=sys.stderr)
         time.sleep(10)

@@ -50,12 +50,15 @@ def _get_async() -> ocp.AsyncCheckpointer:
 
 def wait_for_saves() -> None:
     """Block until every in-flight checkpoint (state + meta) is on disk;
-    re-raise the first failure. Idempotent."""
+    re-raise the first failure. Idempotent; failures do not leak into
+    later runs in the same process."""
     while _PENDING:
         t = _PENDING.pop()
         t.join()
     if _ERRORS:
-        raise _ERRORS.pop()
+        first = _ERRORS[0]
+        _ERRORS.clear()
+        raise first
 
 
 def _task_dir(cfg: Config, task_id: int) -> str:
@@ -67,9 +70,12 @@ def _write_sidecars(d: str, replay_sd, meta: dict) -> None:
     if replay_sd is not None:
         with open(os.path.join(d, "replay.pkl"), "wb") as f:
             pickle.dump(replay_sd, f)
-    # meta.json last: its presence marks the checkpoint complete.
-    with open(os.path.join(d, "meta.json"), "w") as f:
+    # meta.json last and ATOMICALLY (tmp + rename): its presence marks the
+    # checkpoint complete, so it must never exist truncated.
+    tmp = os.path.join(d, "meta.json.tmp")
+    with open(tmp, "w") as f:
         json.dump(meta, f)
+    os.replace(tmp, os.path.join(d, "meta.json"))
 
 
 def save_task(cfg: Config, state, replay, task_id: int,
@@ -77,6 +83,12 @@ def save_task(cfg: Config, state, replay, task_id: int,
     wait_for_saves()  # one in-flight save at a time (tasks are sequential)
     d = _task_dir(cfg, task_id)
     os.makedirs(d, exist_ok=True)
+    # A reused checkpoint dir may hold a previous run's completed task_{t};
+    # its meta.json must not mark THIS save complete if we crash mid-save.
+    for stale in ("meta.json", "replay.pkl"):
+        p = os.path.join(d, stale)
+        if os.path.exists(p):
+            os.remove(p)
     state_np = jax.device_get(state)
     replay_sd = replay.state_dict() if replay is not None else None
     meta = {
@@ -94,7 +106,9 @@ def save_task(cfg: Config, state, replay, task_id: int,
         except BaseException as e:  # surfaced by wait_for_saves
             _ERRORS.append(e)
 
-    t = threading.Thread(target=finalize, daemon=True)
+    # Non-daemon: interpreter shutdown waits for the commit instead of
+    # killing it mid-write.
+    t = threading.Thread(target=finalize, daemon=False)
     t.start()
     _PENDING.append(t)
     if block:

@@ -70,18 +70,25 @@ class DirectorySegDataset:
     def get_batch(self, indices):
         """Threaded decode of one batch (the reference DataLoader's
         num_workers analogue; PIL decode releases the GIL). Used by the
-        pipeline fast path when present."""
-        import concurrent.futures as cf
+        pipeline fast path when present. The executor is created lazily
+        and reused across batches (this is the hot host path)."""
         import numpy as np
 
         if len(indices) < 2:
             pairs = [self[int(i)] for i in indices]
         else:
-            with cf.ThreadPoolExecutor(
-                    max_workers=min(8, len(indices))) as ex:
-                pairs = list(ex.map(lambda i: self[int(i)], indices))
+            pairs = list(self._executor().map(
+                lambda i: self[int(i)], indices))
         return (np.stack([p[0] for p in pairs]),
                 np.stack([p[1] for p in pairs]))
+
+    def _executor(self):
+        ex = getattr(self, "_pool", None)
+        if ex is None:
+            import concurrent.futures as cf
+
+            ex = self._pool = cf.ThreadPoolExecutor(max_workers=8)
+        return ex
 
     def __getitem__(self, i: int):
         img_path, mask_path = self.items[i]

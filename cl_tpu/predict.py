@@ -22,7 +22,7 @@ from cl_tpu.data import pipeline, tasks as task_lib
 def make_predict_step(cfg: Config, model, valid_classes: np.ndarray):
     d = cfg.data
     compute_dtype = train_lib._dtype(cfg)
-    use_pallas = cfg.train.use_pallas
+    use_pallas_aug = cfg.train.use_pallas and cfg.train.pallas_augment
     valid = jnp.asarray(valid_classes)
 
     def step(params, model_state, image_u8):
@@ -30,9 +30,9 @@ def make_predict_step(cfg: Config, model, valid_classes: np.ndarray):
 
         B = image_u8.shape[0]
         batch = pipeline.HostBatch(image_u8,
-                                   jnp.zeros(image_u8.shape[:3], jnp.int32),
+                                   jnp.zeros(image_u8.shape[:3], jnp.uint8),
                                    jnp.zeros((B,), bool))
-        x, _ = train_lib._augment(batch, d, compute_dtype, use_pallas)
+        x, _ = train_lib._augment(batch, d, compute_dtype, use_pallas_aug)
         logits = train_lib._pad_logits(
             model.apply({"params": params, **model_state}, x, train=False),
             d.num_classes)

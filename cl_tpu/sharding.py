@@ -56,7 +56,9 @@ def check_divisible(global_batch: int, mesh: Mesh) -> None:
 def initialize_multihost() -> None:
     """Idempotent ``jax.distributed.initialize()`` (TPU pods autodetect the
     coordinator from the runtime env). Must run before the first device
-    query; single-process runs skip it."""
+    query. The caller explicitly requested multi-host (train.multihost), so
+    a failed init RAISES — silently degrading to independent
+    single-controller processes would train N wrong replicas."""
     import jax.distributed as jdist
 
     state = getattr(jdist, "global_state", None)
@@ -64,9 +66,12 @@ def initialize_multihost() -> None:
         return  # already initialized
     try:
         jdist.initialize()
-    except (ValueError, RuntimeError):
-        # single-process / no coordinator env: run as one controller
-        pass
+    except (ValueError, RuntimeError) as e:
+        raise RuntimeError(
+            "train.multihost=true but jax.distributed.initialize() failed "
+            "(no coordinator env?). Run one process per host under a TPU "
+            "pod runtime, or drop the flag for single-host training."
+        ) from e
 
 
 def process_local_rows(n_global: int) -> slice:

@@ -70,6 +70,39 @@ def test_async_save_barrier(tmp_path):
     ckpt_lib.wait_for_saves()  # idempotent
 
 
+def test_stale_meta_removed_and_errors_do_not_leak(tmp_path, monkeypatch):
+    """A reused checkpoint dir's old meta.json must not mark an in-flight
+    (or failed) save complete; a failed finalize raises once from
+    wait_for_saves and does not poison later runs."""
+    import os
+
+    from cl_tpu import checkpoint as ckpt_lib
+    from cl_tpu.train import build_model, build_optimizer, init_state
+
+    cfg = parse_overrides(_args(str(tmp_path / "ckpt")))
+    model = build_model(cfg)
+    state = init_state(cfg, model, build_optimizer(cfg))
+    miou = np.full((2, 2), np.nan)
+    d = ckpt_lib.save_task(cfg, state, None, 0, miou, block=True)
+    assert os.path.exists(os.path.join(d, "meta.json"))  # run 1 complete
+
+    def boom(*a, **k):
+        raise OSError("disk full")
+
+    monkeypatch.setattr(ckpt_lib, "_write_sidecars", boom)
+    ckpt_lib.save_task(cfg, state, None, 0, miou)
+    with pytest.raises(OSError, match="disk full"):
+        ckpt_lib.wait_for_saves()
+    # run 1's stale marker was removed up front → the failed save is
+    # invisible to resume, and the error does not resurface later.
+    assert not os.path.exists(os.path.join(d, "meta.json"))
+    monkeypatch.undo()
+    ckpt_lib.wait_for_saves()  # clean
+    assert ckpt_lib.latest_task(cfg) is None
+    ckpt_lib.save_task(cfg, state, None, 0, miou, block=True)
+    assert ckpt_lib.latest_task(cfg) == 0
+
+
 def test_device_resident_replay_run(tmp_path):
     """End-to-end 2-task run with the HBM-resident replay buffer
     (falls back to XLA gather on CPU; same semantics)."""
