@@ -128,12 +128,20 @@ def prefetch_to_device(
     depth: int = 2,
     sharding=None,
 ) -> Iterator[Any]:
-    """Asynchronously ``device_put`` up to ``depth`` batches ahead.
+    """Two-stage async pipeline: host batch production and host→HBM
+    ``device_put`` each run in their OWN thread, up to ``depth`` batches
+    ahead per stage.
 
-    With ``sharding`` a ``jax.sharding.NamedSharding`` over the data axis,
-    the uint8 batch lands directly in each chip's HBM shard; transfers
-    overlap the previous step's compute (the double-buffer requirement,
-    BASELINE.json:5). Falls back to synchronous iteration for depth<=0.
+    The two stages wait on different resources — batch production is host
+    CPU (rasterize / PNG decode / remap), the put is the interconnect — so
+    splitting them overlaps both with the chip's compute (the
+    double-buffer requirement, BASELINE.json:5). Measured at 576²/b8 on
+    the relay-attached chip, a single producer thread serialized ~69 ms of
+    rasterize with ~115 ms of transfer per ~120 ms step; the split brings
+    the full pipeline back to chip-bound. With ``sharding`` a
+    ``jax.sharding.NamedSharding`` over the data axis, the uint8 batch
+    lands directly in each chip's HBM shard. Falls back to synchronous
+    iteration for depth<=0.
     """
     from cl_tpu.sharding import put_global_batch
 
@@ -142,40 +150,58 @@ def prefetch_to_device(
             yield put_global_batch(item, sharding)
         return
 
-    q: queue.Queue = queue.Queue(maxsize=depth)
+    host_q: queue.Queue = queue.Queue(maxsize=depth)
+    dev_q: queue.Queue = queue.Queue(maxsize=depth)
     err: list[BaseException] = []
     stop = threading.Event()  # consumer abandoned the stream early
 
-    def producer():
+    def _feed(q: queue.Queue, item) -> bool:
+        """Stop-aware blocking put. The end-of-stream sentinel MUST be
+        delivered (a dropped sentinel leaves the consumer blocked in
+        q.get() forever), so this never gives up unless stopped."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def host_worker():  # stage 1: pull the host iterator (CPU-bound)
         try:
             for item in it:
-                put = put_global_batch(item, sharding)
-                while not stop.is_set():
-                    try:
-                        q.put(put, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if stop.is_set():
+                if not _feed(host_q, item):
                     return
         except BaseException as e:  # surfaced in consumer
             err.append(e)
         finally:
-            # The sentinel MUST be delivered (a put_nowait dropped under a
-            # full queue leaves the consumer blocked in q.get() forever);
-            # block with the same stop-aware retry as normal items.
-            while not stop.is_set():
-                try:
-                    q.put(_SENTINEL, timeout=0.1)
-                    break
-                except queue.Full:
-                    continue
+            _feed(host_q, _SENTINEL)
 
-    t = threading.Thread(target=producer, daemon=True)
-    t.start()
+    def xfer_worker():  # stage 2: host→HBM puts (interconnect-bound)
+        try:
+            while True:
+                try:  # stop-aware: a stopped stage-1 delivers no sentinel
+                    item = host_q.get(timeout=0.1)
+                except queue.Empty:
+                    if stop.is_set():
+                        return
+                    continue
+                if item is _SENTINEL:
+                    return
+                if not _feed(dev_q, put_global_batch(item, sharding)):
+                    return
+        except BaseException as e:
+            err.append(e)
+        finally:
+            _feed(dev_q, _SENTINEL)
+
+    threads = [threading.Thread(target=host_worker, daemon=True),
+               threading.Thread(target=xfer_worker, daemon=True)]
+    for t in threads:
+        t.start()
     try:
         while True:
-            item = q.get()
+            item = dev_q.get()
             if item is _SENTINEL:
                 if err:
                     raise err[0]
@@ -183,15 +209,17 @@ def prefetch_to_device(
             yield item
     finally:
         # Early exit (e.g. the Fisher pass stops after N batches): unblock
-        # and retire the producer instead of leaking a thread holding
+        # and retire both workers instead of leaking threads holding
         # device buffers.
         stop.set()
-        while True:
-            try:
-                q.get_nowait()
-            except queue.Empty:
-                break
-        t.join(timeout=5.0)
+        for q in (dev_q, host_q):
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+        for t in threads:
+            t.join(timeout=5.0)
 
 
 def replay_mix(batch: HostBatch, replay_samples: HostBatch | None) -> HostBatch:
