@@ -28,13 +28,16 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_config(name: str, *, quick: bool, with_torch: bool) -> dict:
+def run_config(name: str, *, quick: bool, with_torch: bool,
+               overrides: list[str] = ()) -> dict:
     import jax
 
-    from cl_tpu.config import get_preset
+    from cl_tpu.config import get_preset, parse_overrides
     from cl_tpu.train import train
 
     cfg = get_preset(name)
+    if overrides:
+        cfg = parse_overrides(list(overrides), base=cfg)
     if quick:
         cfg = cfg.replace(
             data=dataclasses.replace(
@@ -87,6 +90,9 @@ def main() -> int:
     p.add_argument("--quick", action="store_true")
     p.add_argument("--torch", action="store_true")
     p.add_argument("--out", default="")
+    p.add_argument("overrides", nargs="*",
+                   help="extra section.key=value overrides applied on top "
+                        "of each preset (e.g. data.device_cache=true)")
     args = p.parse_args()
 
     results = []
@@ -94,7 +100,10 @@ def main() -> int:
         name = f"baseline_{c.strip()}"
         print(f"== {name} ==", file=sys.stderr)
         results.append(run_config(name, quick=args.quick,
-                                  with_torch=args.torch))
+                                  with_torch=args.torch,
+                                  overrides=args.overrides))
+        if args.overrides:
+            results[-1]["overrides"] = args.overrides
         print(json.dumps(results[-1], default=float), file=sys.stderr)
     blob = json.dumps(results, default=float, indent=1)
     if args.out:

@@ -36,6 +36,10 @@ class DataConfig:
     ignore_index: int = 255
     shuffle_seed: int = 1234
     prefetch_depth: int = 2  # double-buffered host->HBM
+    # HBM-resident dataset cache: one bulk transfer per task, batches formed
+    # on device by gather (identical seeded stream — see data/device_cache.py).
+    # Single-device only; removes the per-step host->HBM put.
+    device_cache: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -1,0 +1,78 @@
+"""HBM-resident dataset cache: one bulk host→HBM transfer per task, then
+every epoch's batches are formed ON DEVICE by gather.
+
+Why: the per-step host→HBM put is the end-to-end bottleneck once the step
+itself is fast (DESIGN.md §8 — on this box a single 8 MB put costs 186 ms
+of pure interconnect latency). Research-scale segmentation sets are tiny
+next to HBM (128 images @576² uint8 ≈ 127 MB incl. masks), so the
+TPU-native answer is to park the task's whole decoded set in HBM once and
+replace the per-step transfer with an XLA gather over a seeded index
+stream — the same ``pipeline.epoch_plan`` the host pipeline and the torch
+oracle consume, so batch composition is bit-identical either way (tested).
+
+Single-device only (like the HBM replay buffer): under a DP mesh the
+per-chip copy would multiply, and the acceptance ladder's DP config feeds
+from hosts. Enable with ``data.device_cache=true``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import jax.numpy as jnp
+import numpy as np
+
+from cl_tpu.data import pipeline
+
+
+class DeviceDatasetCache:
+    """Materializes ``dataset`` (host decode, chunked) into two device
+    arrays and serves device-resident ``HostBatch``es per epoch."""
+
+    def __init__(self, dataset, *, chunk: int = 32):
+        n = len(dataset)
+        batched = getattr(dataset, "get_batch", None)
+        imgs, msks = [], []
+        for lo in range(0, n, chunk):
+            idx = np.arange(lo, min(lo + chunk, n))
+            if batched is not None:
+                im, mk = batched(idx)
+            else:
+                pairs = [dataset[int(i)] for i in idx]
+                im = np.stack([p[0] for p in pairs])
+                mk = np.stack([p[1] for p in pairs])
+            imgs.append(im)
+            msks.append(mk.astype(np.uint8))
+        self.images = jnp.asarray(np.concatenate(imgs))   # uint8 [N,S,S,3]
+        self.masks = jnp.asarray(np.concatenate(msks))    # uint8 [N,S,S]
+        self.n = n
+
+    def nbytes(self) -> int:
+        return self.images.nbytes + self.masks.nbytes
+
+    def batches(self, *, batch_size: int, epoch: int, seed: int,
+                shuffle: bool, flip_prob: float
+                ) -> Iterator["pipeline.HostBatch"]:
+        """Device-resident batches following the exact host epoch plan."""
+        for idx, flip in pipeline.epoch_plan(
+                self.n, batch_size=batch_size, epoch=epoch, seed=seed,
+                shuffle=shuffle, flip_prob=flip_prob):
+            di = jnp.asarray(idx.astype(np.int32))  # tiny H2D
+            yield pipeline.HostBatch(
+                image=jnp.take(self.images, di, axis=0),
+                mask=jnp.take(self.masks, di, axis=0),
+                flip=jnp.asarray(flip),
+            )
+
+
+def device_mix(batch: "pipeline.HostBatch",
+               replay: "pipeline.HostBatch | None") -> "pipeline.HostBatch":
+    """replay_mix for device-resident batches: the (host) replay sub-batch
+    rides one small H2D, concatenation happens on device."""
+    if replay is None:
+        return batch
+    return pipeline.HostBatch(
+        image=jnp.concatenate([batch.image, jnp.asarray(replay.image)]),
+        mask=jnp.concatenate([batch.mask, jnp.asarray(replay.mask)]),
+        flip=jnp.concatenate([batch.flip, jnp.asarray(replay.flip)]),
+    )

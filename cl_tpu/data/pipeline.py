@@ -41,6 +41,29 @@ def _epoch_order(n: int, *, seed: int, epoch: int, shuffle: bool) -> np.ndarray:
     return rng.permutation(n)
 
 
+def epoch_plan(
+    n: int,
+    *,
+    batch_size: int,
+    epoch: int,
+    seed: int,
+    shuffle: bool,
+    flip_prob: float,
+) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+    """The seeded (indices, flips) stream for one epoch — the single
+    source of truth shared by the host pipeline, the HBM-resident dataset
+    cache, and the torch oracle, so every consumer sees identical batches
+    (SURVEY.md §6 determinism). Drops the trailing partial batch (static
+    shapes for jit)."""
+    order = _epoch_order(n, seed=seed, epoch=epoch, shuffle=shuffle)
+    flip_rng = np.random.RandomState((seed + 31 * epoch + 7) % (2**31 - 1))
+    for b in range(n // batch_size):
+        idx = order[b * batch_size:(b + 1) * batch_size]
+        flip = (flip_rng.rand(batch_size) < flip_prob) if flip_prob > 0 else \
+            np.zeros(batch_size, dtype=bool)
+        yield idx, flip.astype(bool)
+
+
 def batches(
     dataset,
     *,
@@ -50,25 +73,20 @@ def batches(
     shuffle: bool,
     flip_prob: float,
 ) -> Iterator[HostBatch]:
-    """Deterministic batch stream for one epoch. Drops the trailing partial
-    batch (static shapes for jit)."""
-    order = _epoch_order(len(dataset), seed=seed, epoch=epoch, shuffle=shuffle)
-    flip_rng = np.random.RandomState((seed + 31 * epoch + 7) % (2**31 - 1))
-    n_full = len(dataset) // batch_size
+    """Deterministic host batch stream for one epoch (see epoch_plan)."""
     batched = getattr(dataset, "get_batch", None)  # native threaded path
-    for b in range(n_full):
-        idx = order[b * batch_size:(b + 1) * batch_size]
+    for idx, flip in epoch_plan(len(dataset), batch_size=batch_size,
+                                epoch=epoch, seed=seed, shuffle=shuffle,
+                                flip_prob=flip_prob):
         if batched is not None:
             image, masks = batched(idx)
         else:
             imgs, masks = zip(*(dataset[int(i)] for i in idx))
             image, masks = np.stack(imgs), np.stack(masks)
-        flip = (flip_rng.rand(batch_size) < flip_prob) if flip_prob > 0 else \
-            np.zeros(batch_size, dtype=bool)
         yield HostBatch(
             image=image,
             mask=masks.astype(np.uint8),
-            flip=flip.astype(bool),
+            flip=flip,
         )
 
 

@@ -252,16 +252,21 @@ def make_eval_step(cfg: Config, model: UNet, mesh=None) -> Callable:
 
 
 def evaluate_task(cfg: Config, eval_step, state: TrainState, task_id: int,
-                  seen_valid: np.ndarray, mesh=None) -> dict:
+                  seen_valid: np.ndarray, mesh=None,
+                  batch_it=None) -> dict:
     """mIoU of ``task_id``'s val set, predicting among all seen classes
-    (standard class-incremental eval; mirrored by the torch oracle)."""
+    (standard class-incremental eval; mirrored by the torch oracle).
+    ``batch_it`` overrides the host pipeline with an already-device-
+    resident stream (the HBM dataset cache)."""
     C = cfg.data.num_classes
     conf = jnp.zeros((C, C), jnp.float32)
     valid = jnp.asarray(seen_valid)
-    it = pipeline.val_batches(cfg, task_id)
-    bs = sharding.batch_sharding(mesh) if mesh is not None else None
-    for batch in pipeline.prefetch_to_device(
-            it, depth=cfg.data.prefetch_depth, sharding=bs):
+    if batch_it is None:
+        it = pipeline.val_batches(cfg, task_id)
+        bs = sharding.batch_sharding(mesh) if mesh is not None else None
+        batch_it = pipeline.prefetch_to_device(
+            it, depth=cfg.data.prefetch_depth, sharding=bs)
+    for batch in batch_it:
         conf = eval_step(conf, state.params, state.model_state, batch, valid)
     conf_np = np.asarray(jax.device_get(conf))
     task_classes = [task_lib.BACKGROUND] + cfg.classes_per_task[task_id]
@@ -310,16 +315,19 @@ def make_fisher_step(cfg: Config, model: UNet, mesh=None) -> Callable:
 
 
 def run_fisher_pass(cfg: Config, fisher_step, state: TrainState,
-                    task_id: int, seen_valid: np.ndarray, mesh=None):
+                    task_id: int, seen_valid: np.ndarray, mesh=None,
+                    batch_it=None):
     """Average squared grads over up to ``ewc_fisher_batches`` batches."""
     acc = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), state.params)
     valid = jnp.asarray(seen_valid)
     rng = jax.random.fold_in(state.rng, 1000 + task_id)
     n = 0
-    bs = sharding.batch_sharding(mesh) if mesh is not None else None
-    it = pipeline.train_batches(cfg, task_id, epoch=10_000 + task_id)
-    for batch in pipeline.prefetch_to_device(
-            it, depth=cfg.data.prefetch_depth, sharding=bs):
+    if batch_it is None:
+        bs = sharding.batch_sharding(mesh) if mesh is not None else None
+        it = pipeline.train_batches(cfg, task_id, epoch=10_000 + task_id)
+        batch_it = pipeline.prefetch_to_device(
+            it, depth=cfg.data.prefetch_depth, sharding=bs)
+    for batch in batch_it:
         if n >= cfg.method.ewc_fisher_batches:
             break
         rng, sub = jax.random.split(rng)
@@ -437,6 +445,23 @@ def train(cfg: Config) -> dict:
     else:
         replay = None
 
+    # HBM-resident dataset cache (data/device_cache.py): one bulk transfer
+    # per task, batches gathered on device — removes the per-step host→HBM
+    # put, which dominates e2e time once the step is fast (DESIGN.md §8).
+    dev_cache = cfg.data.device_cache
+    if dev_cache and mesh is not None:
+        raise ValueError(
+            "data.device_cache requires single-device training (the cache "
+            "is not sharded); DP feeds from hosts")
+    caches: dict = {}
+
+    def _train_cache(task_id: int):
+        if task_id not in caches:
+            from cl_tpu.data.device_cache import DeviceDatasetCache
+            ds, _ = pipeline.make_datasets(cfg, task_id)
+            caches[task_id] = DeviceDatasetCache(ds)
+        return caches[task_id]
+
     miou_matrix = np.full((T, T), np.nan)
     start_task = 0
     if cfg.train.resume and cfg.train.checkpoint_dir:
@@ -477,22 +502,38 @@ def train(cfg: Config) -> dict:
                          and epoch == min(1, cfg.train.epochs_per_task - 1))
             if profiling:
                 jax.profiler.start_trace(cfg.train.profile_dir)
-            host_it = pipeline.train_batches(cfg, task_id, epoch)
-            if use_replay and not dev_replay:
-                k = cfg.method.replay_batch
+            if dev_cache:
+                batch_it = _train_cache(task_id).batches(
+                    batch_size=cfg.data.batch_size, epoch=epoch,
+                    seed=cfg.data.shuffle_seed + 1000 * task_id,
+                    shuffle=True, flip_prob=cfg.data.flip_prob)
+                if use_replay and not dev_replay:
+                    from cl_tpu.data.device_cache import device_mix
+                    k = cfg.method.replay_batch
 
-                def mixed(it=host_it):
-                    for b in it:
-                        rb = replay.sample_or_current(
-                            k, b, flip_prob=cfg.data.flip_prob)
-                        yield pipeline.replay_mix(b, rb)
-                host_it = mixed()
+                    def _cached_mixed(it=batch_it):
+                        for b in it:
+                            yield device_mix(b, replay.sample_or_current(
+                                k, b, flip_prob=cfg.data.flip_prob))
+                    batch_it = _cached_mixed()
+            else:
+                host_it = pipeline.train_batches(cfg, task_id, epoch)
+                if use_replay and not dev_replay:
+                    k = cfg.method.replay_batch
+
+                    def mixed(it=host_it):
+                        for b in it:
+                            rb = replay.sample_or_current(
+                                k, b, flip_prob=cfg.data.flip_prob)
+                            yield pipeline.replay_mix(b, rb)
+                    host_it = mixed()
+                batch_it = pipeline.prefetch_to_device(
+                    host_it, depth=cfg.data.prefetch_depth, sharding=bs)
             # Loss values stay on device during the epoch — fetching them
             # per step would sync the pipeline and stall the double buffer.
             losses_dev, n_steps = [], 0
             t_ep = time.perf_counter()
-            for batch in pipeline.prefetch_to_device(
-                    host_it, depth=cfg.data.prefetch_depth, sharding=bs):
+            for batch in batch_it:
                 if dev_replay:
                     batch = _device_replay_mix(
                         replay, batch, cfg.method.replay_batch,
@@ -519,16 +560,34 @@ def train(cfg: Config) -> dict:
 
         # ---- eval over all seen tasks (SURVEY.md §3.1) ----
         for k in range(task_id + 1):
+            val_it = None
+            if dev_cache:
+                if ("val", k) not in caches:
+                    from cl_tpu.data.device_cache import DeviceDatasetCache
+                    _, val_ds = pipeline.make_datasets(cfg, k)
+                    caches[("val", k)] = DeviceDatasetCache(val_ds)
+                val_it = caches[("val", k)].batches(
+                    batch_size=cfg.data.batch_size, epoch=0,
+                    seed=cfg.data.shuffle_seed + 1000 * k,
+                    shuffle=False, flip_prob=0.0)
             res = evaluate_task(cfg, eval_step, state, k, seen_valid,
-                                mesh=mesh)
+                                mesh=mesh, batch_it=val_it)
             miou_matrix[task_id, k] = res["miou"]
             logger.log(event="eval", after_task=task_id, task=k,
                        miou=res["miou"])
 
         # ---- after-task hooks (SURVEY.md §3.1) ----
         if fisher_step is not None and task_id < T - 1:
+            fisher_it = None
+            if dev_cache:
+                fisher_it = _train_cache(task_id).batches(
+                    batch_size=cfg.data.batch_size,
+                    epoch=10_000 + task_id,
+                    seed=cfg.data.shuffle_seed + 1000 * task_id,
+                    shuffle=True, flip_prob=cfg.data.flip_prob)
             fisher_new = run_fisher_pass(cfg, fisher_step, state, task_id,
-                                         seen_valid, mesh=mesh)
+                                         seen_valid, mesh=mesh,
+                                         batch_it=fisher_it)
             state = state.replace(ewc=ewc_lib.ewc_after_task(
                 state.ewc, state.params, fisher_new,
                 mode=cfg.method.ewc_mode, gamma=cfg.method.ewc_gamma,
@@ -541,6 +600,7 @@ def train(cfg: Config) -> dict:
             train_ds, _ = pipeline.make_datasets(cfg, task_id)
             per_task = max(1, cfg.method.replay_capacity // T)
             replay.add_examples(train_ds, per_task, task_id=task_id)
+        caches.pop(task_id, None)  # free the finished task's HBM train cache
 
         if cfg.train.checkpoint_dir:
             ckpt_lib.save_task(cfg, state, replay, task_id, miou_matrix)

@@ -1,0 +1,54 @@
+"""HBM-resident dataset cache (data/device_cache.py): device-gathered
+batches must be bit-identical to the host pipeline's (same epoch_plan),
+and a cached full run must report exactly what the host-pipeline run
+reports."""
+
+import numpy as np
+
+from cl_tpu.config import parse_overrides
+from cl_tpu.data import pipeline
+from cl_tpu.data.device_cache import DeviceDatasetCache
+
+
+def _cfg(extra=()):
+    return parse_overrides([
+        "preset=smoke", "data.num_classes=5", "train.num_tasks=2",
+        "method.methods=ewc,replay", "train.epochs_per_task=1",
+        "data.train_images_per_task=8", "train.data_parallel=false",
+        *extra])
+
+
+def test_cached_batches_match_host_pipeline():
+    cfg = _cfg()
+    ds, _ = pipeline.make_datasets(cfg, 0)
+    cache = DeviceDatasetCache(ds)
+    kw = dict(batch_size=cfg.data.batch_size, epoch=3,
+              seed=cfg.data.shuffle_seed, shuffle=True,
+              flip_prob=cfg.data.flip_prob)
+    host = list(pipeline.batches(ds, **kw))
+    dev = list(cache.batches(**kw))
+    assert len(host) == len(dev)
+    for h, d in zip(host, dev):
+        np.testing.assert_array_equal(h.image, np.asarray(d.image))
+        np.testing.assert_array_equal(h.mask, np.asarray(d.mask))
+        np.testing.assert_array_equal(h.flip, np.asarray(d.flip))
+
+
+def test_cached_run_reports_identical_results():
+    from cl_tpu.train import train
+
+    base = train(_cfg())
+    cached = train(_cfg(["data.device_cache=true"]))
+    assert cached["final_per_task_miou"] == base["final_per_task_miou"]
+    np.testing.assert_array_equal(np.asarray(cached["miou_matrix"]),
+                                  np.asarray(base["miou_matrix"]))
+
+
+def test_device_cache_rejected_under_mesh(eight_devices):
+    import pytest
+
+    from cl_tpu.train import train
+
+    with pytest.raises(ValueError, match="device_cache"):
+        train(_cfg(["data.device_cache=true", "train.data_parallel=true",
+                    "data.batch_size=8"]))
