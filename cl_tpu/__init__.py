@@ -20,3 +20,18 @@ Pallas kernels (SURVEY.md §2.2) live in pallas/ with jnp fallbacks.
 """
 
 __version__ = "0.1.0"
+
+__all__ = ["Config", "get_preset", "parse_overrides", "__version__"]
+
+
+def __getattr__(name):
+    """Lazy config surface (keeps `import cl_tpu` light): cl_tpu.Config,
+    cl_tpu.get_preset(name), cl_tpu.parse_overrides(argv). The train/eval
+    entry points live in cl_tpu.train (`from cl_tpu.train import train,
+    evaluate`) — NOT re-exported here, because the `train` submodule would
+    shadow a same-named function attribute after any import of it."""
+    if name in ("Config", "get_preset", "parse_overrides"):
+        import importlib
+
+        return getattr(importlib.import_module("cl_tpu.config"), name)
+    raise AttributeError(f"module 'cl_tpu' has no attribute {name!r}")
