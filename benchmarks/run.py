@@ -36,8 +36,6 @@ def run_config(name: str, *, quick: bool, with_torch: bool,
     from cl_tpu.train import train
 
     cfg = get_preset(name)
-    if overrides:
-        cfg = parse_overrides(list(overrides), base=cfg)
     if quick:
         cfg = cfg.replace(
             data=dataclasses.replace(
@@ -48,6 +46,9 @@ def run_config(name: str, *, quick: bool, with_torch: bool,
             # excluded from the throughput numbers.
             train=dataclasses.replace(cfg.train, epochs_per_task=2),
         )
+    # Overrides apply LAST so they win over the --quick shrink too.
+    if overrides:
+        cfg = parse_overrides(list(overrides), base=cfg)
 
     t0 = time.perf_counter()
     report = train(cfg)

@@ -89,6 +89,15 @@ def save_task(cfg: Config, state, replay, task_id: int,
         p = os.path.join(d, stale)
         if os.path.exists(p):
             os.remove(p)
+    # Saving task t makes any task_{k>t} in this dir stale (a previous
+    # run's leftovers): drop their completeness markers, or a later resume
+    # would splice the OLD run's trajectory onto this one via latest_task.
+    root = os.path.abspath(cfg.train.checkpoint_dir)
+    for name in os.listdir(root):
+        if name.startswith("task_") and int(name.split("_", 1)[1]) > task_id:
+            stale_meta = os.path.join(root, name, "meta.json")
+            if os.path.exists(stale_meta):
+                os.remove(stale_meta)
     state_np = jax.device_get(state)
     replay_sd = replay.state_dict() if replay is not None else None
     meta = {
@@ -106,9 +115,13 @@ def save_task(cfg: Config, state, replay, task_id: int,
         except BaseException as e:  # surfaced by wait_for_saves
             _ERRORS.append(e)
 
-    # Non-daemon: interpreter shutdown waits for the commit instead of
-    # killing it mid-write.
-    t = threading.Thread(target=finalize, daemon=False)
+    # Daemon: an unexpected main-thread crash must not hang process exit on
+    # a wedged device-relay commit. Clean paths flush via wait_for_saves()
+    # (run end, fault-injection exit, next save/restore); a crash mid-
+    # commit loses at most this task's checkpoint, and the atomic
+    # tmp+replace of meta.json guarantees it is lost CLEANLY (the dir just
+    # looks incomplete — resume redoes the task).
+    t = threading.Thread(target=finalize, daemon=True)
     t.start()
     _PENDING.append(t)
     if block:

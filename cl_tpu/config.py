@@ -121,17 +121,23 @@ class Config:
         return dataclasses.asdict(self)
 
     # Operational fields that don't change the training trajectory — a
-    # resume with e.g. a different log path or without the fault-injection
-    # flag must still match the stored hash.
-    _HASH_EXCLUDE = ("checkpoint_dir", "resume", "log_path", "profile_dir",
-                     "tensorboard_dir",
-                     "fail_after_task", "multihost")
+    # resume with e.g. a different log path, without the fault-injection
+    # flag, or with the (bit-identical, tested) HBM dataset cache toggled
+    # must still match the stored hash. The pallas kernel flags stay IN
+    # the hash: their f32 reduction orders differ from the jnp oracles, so
+    # flipping them mid-run is a (tiny) trajectory change.
+    _HASH_EXCLUDE = {
+        "train": ("checkpoint_dir", "resume", "log_path", "profile_dir",
+                  "tensorboard_dir", "fail_after_task", "multihost"),
+        "data": ("device_cache",),
+    }
 
     def config_hash(self) -> str:
         """Stable hash stored in checkpoints and logs (SURVEY.md §5.6)."""
         d = self.to_dict()
-        for k in self._HASH_EXCLUDE:
-            d["train"].pop(k, None)
+        for section, keys in self._HASH_EXCLUDE.items():
+            for k in keys:
+                d[section].pop(k, None)
         blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:12]
 

@@ -327,13 +327,20 @@ def run_fisher_pass(cfg: Config, fisher_step, state: TrainState,
         it = pipeline.train_batches(cfg, task_id, epoch=10_000 + task_id)
         batch_it = pipeline.prefetch_to_device(
             it, depth=cfg.data.prefetch_depth, sharding=bs)
-    for batch in batch_it:
-        if n >= cfg.method.ewc_fisher_batches:
-            break
-        rng, sub = jax.random.split(rng)
-        acc = fisher_step(acc, state.params, state.model_state, batch,
-                          valid, sub)
-        n += 1
+    try:
+        for batch in batch_it:
+            if n >= cfg.method.ewc_fisher_batches:
+                break
+            rng, sub = jax.random.split(rng)
+            acc = fisher_step(acc, state.params, state.model_state, batch,
+                              valid, sub)
+            n += 1
+    finally:
+        # The pass usually stops early; close the generator so it drops
+        # its references (the HBM dataset cache, prefetch threads) NOW
+        # rather than at some later rebind/GC.
+        if hasattr(batch_it, "close"):
+            batch_it.close()
     n = max(n, 1)
     return jax.tree.map(lambda a: a / n, acc)
 
@@ -503,32 +510,29 @@ def train(cfg: Config) -> dict:
             if profiling:
                 jax.profiler.start_trace(cfg.train.profile_dir)
             if dev_cache:
-                batch_it = _train_cache(task_id).batches(
+                src = _train_cache(task_id).batches(
                     batch_size=cfg.data.batch_size, epoch=epoch,
                     seed=cfg.data.shuffle_seed + 1000 * task_id,
                     shuffle=True, flip_prob=cfg.data.flip_prob)
-                if use_replay and not dev_replay:
-                    from cl_tpu.data.device_cache import device_mix
-                    k = cfg.method.replay_batch
-
-                    def _cached_mixed(it=batch_it):
-                        for b in it:
-                            yield device_mix(b, replay.sample_or_current(
-                                k, b, flip_prob=cfg.data.flip_prob))
-                    batch_it = _cached_mixed()
             else:
-                host_it = pipeline.train_batches(cfg, task_id, epoch)
-                if use_replay and not dev_replay:
-                    k = cfg.method.replay_batch
+                src = pipeline.train_batches(cfg, task_id, epoch)
+            if use_replay and not dev_replay:
+                # Same plumbing either way; only the concat site differs —
+                # on device for cached batches, on host (pre-transfer,
+                # one put of the widened batch) for the host pipeline.
+                if dev_cache:
+                    from cl_tpu.data.device_cache import device_mix as _mix
+                else:
+                    _mix = pipeline.replay_mix
+                k = cfg.method.replay_batch
 
-                    def mixed(it=host_it):
-                        for b in it:
-                            rb = replay.sample_or_current(
-                                k, b, flip_prob=cfg.data.flip_prob)
-                            yield pipeline.replay_mix(b, rb)
-                    host_it = mixed()
-                batch_it = pipeline.prefetch_to_device(
-                    host_it, depth=cfg.data.prefetch_depth, sharding=bs)
+                def mixed(it=src, mix=_mix):
+                    for b in it:
+                        yield mix(b, replay.sample_or_current(
+                            k, b, flip_prob=cfg.data.flip_prob))
+                src = mixed()
+            batch_it = src if dev_cache else pipeline.prefetch_to_device(
+                src, depth=cfg.data.prefetch_depth, sharding=bs)
             # Loss values stay on device during the epoch — fetching them
             # per step would sync the pipeline and stall the double buffer.
             losses_dev, n_steps = [], 0

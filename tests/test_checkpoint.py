@@ -103,6 +103,32 @@ def test_stale_meta_removed_and_errors_do_not_leak(tmp_path, monkeypatch):
     assert ckpt_lib.latest_task(cfg) == 0
 
 
+def test_fresh_run_invalidates_stale_later_tasks(tmp_path):
+    """Saving task t into a reused dir must de-mark any task_{k>t} left by
+    a previous run — otherwise resume splices the old run's trajectory
+    (latest_task = old max) onto the new one."""
+    from cl_tpu import checkpoint as ckpt_lib
+    from cl_tpu.train import build_model, build_optimizer, init_state
+
+    cfg = parse_overrides(_args(str(tmp_path / "ckpt")))
+    model = build_model(cfg)
+    state = init_state(cfg, model, build_optimizer(cfg))
+    miou = np.full((2, 2), np.nan)
+    ckpt_lib.save_task(cfg, state, None, 0, miou, block=True)  # run A
+    ckpt_lib.save_task(cfg, state, None, 1, miou, block=True)
+    assert ckpt_lib.latest_task(cfg) == 1
+    ckpt_lib.save_task(cfg, state, None, 0, miou, block=True)  # run B
+    assert ckpt_lib.latest_task(cfg) == 0  # run A's task_1 de-marked
+
+
+def test_config_hash_ignores_device_cache_toggle():
+    a = parse_overrides(["preset=smoke"])
+    b = parse_overrides(["preset=smoke", "data.device_cache=true"])
+    c = parse_overrides(["preset=smoke", "train.lr=0.5"])
+    assert a.config_hash() == b.config_hash()
+    assert a.config_hash() != c.config_hash()
+
+
 def test_device_resident_replay_run(tmp_path):
     """End-to-end 2-task run with the HBM-resident replay buffer
     (falls back to XLA gather on CPU; same semantics)."""
