@@ -92,6 +92,36 @@ def test_prefetch_sentinel_survives_full_queue():
     assert got == [0, 1, 2]
 
 
+def test_epoch_plan_properties():
+    """epoch_plan is the single source of truth for batch composition
+    (host pipeline, HBM cache, torch oracle): every epoch is an exact
+    permutation prefix, deterministic in (seed, epoch), trailing partial
+    batch dropped."""
+    from hypothesis import given, settings, strategies as st
+
+    from cl_tpu.data.pipeline import epoch_plan
+
+    @settings(max_examples=25, deadline=None)
+    @given(n=st.integers(4, 64), bs=st.integers(1, 8),
+           epoch=st.integers(0, 5), seed=st.integers(0, 2**20),
+           flip_prob=st.floats(0.0, 1.0))
+    def check(n, bs, epoch, seed, flip_prob):
+        plan = list(epoch_plan(n, batch_size=bs, epoch=epoch, seed=seed,
+                               shuffle=True, flip_prob=flip_prob))
+        assert len(plan) == n // bs  # partial batch dropped
+        idx = np.concatenate([i for i, _ in plan]) if plan else \
+            np.zeros(0, int)
+        assert len(np.unique(idx)) == len(idx)  # no repeats in an epoch
+        assert all(f.shape == (bs,) and f.dtype == bool for _, f in plan)
+        again = list(epoch_plan(n, batch_size=bs, epoch=epoch, seed=seed,
+                                shuffle=True, flip_prob=flip_prob))
+        for (i1, f1), (i2, f2) in zip(plan, again):  # deterministic
+            np.testing.assert_array_equal(i1, i2)
+            np.testing.assert_array_equal(f1, f2)
+
+    check()
+
+
 def test_replay_mix_concatenates():
     from cl_tpu.data.pipeline import HostBatch, replay_mix
 
