@@ -69,6 +69,29 @@ def test_check_divisible():
         sharding.check_divisible(6, mesh)
 
 
+def test_sharded_eval_matches_single_device(eight_devices):
+    """The eval step's on-device confusion matrix must be identical under
+    a DP mesh (per-shard one-hot matmuls + partitioner-inserted psum) and
+    on one device."""
+    cfg = _cfg()
+    model = train_lib.build_model(cfg)
+    tx = train_lib.build_optimizer(cfg)
+    state = train_lib.init_state(cfg, model, tx)
+    valid = jnp.asarray(task_lib.valid_class_mask(
+        cfg.data.num_classes, task_lib.seen_classes(cfg.classes_per_task, 0)))
+    batch = _first_batch(cfg)
+    C = cfg.data.num_classes
+    conf0 = jnp.zeros((C, C), jnp.float32)
+
+    mesh = sharding.make_mesh(eight_devices[:4])
+    ev_m = train_lib.make_eval_step(cfg, model, mesh=mesh)
+    ev_1 = train_lib.make_eval_step(cfg, model, mesh=None)
+    cm = ev_m(conf0, state.params, state.model_state, batch, valid)
+    c1 = ev_1(conf0, state.params, state.model_state, batch, valid)
+    # Counts are integers accumulated in f32 — exact equality expected.
+    np.testing.assert_array_equal(np.asarray(cm), np.asarray(c1))
+
+
 def test_put_global_batch_local_api_matches_device_put(eight_devices):
     """Multi-controller readiness (SURVEY.md §2.4): the
     make_array_from_process_local_data path must place the same values with
