@@ -1,4 +1,4 @@
-"""Fused masked softmax cross-entropy kernel.
+"""Fused masked softmax cross-entropy kernel (class-major layout).
 
 The per-step CE at 512² touches an [B,512,512,C] f32 logit tensor several
 times in the jnp path (mask, logsumexp, gather, reduce). This kernel does
@@ -6,6 +6,22 @@ mask → logsumexp → label-pick → ignore-mask → reduce in ONE pass per pix
 tile, with the closed-form backward (softmax − one-hot)·mask/n as a second
 fused kernel (custom VJP). Same contract and arithmetic as
 ``cl_tpu.losses.cross_entropy`` (oracle-equality tested).
+
+Layout is the whole game. Pallas custom-call operands get a FORCED
+row-major (8,128)-tiled layout, so a pixels×classes [P, C] operand is
+lane-padded C→128: at 512²/19 classes that is 128/19 ≈ 6.7× physical HBM
+traffic (~1 GB per pass), and per-pixel [P, 1] side inputs are padded
+128× (~1 GB each). Measured on-chip, that layout cost ~18 ms of a 92 ms
+train step. This kernel is therefore CLASS-MAJOR:
+
+  * logits enter as z[C, P] — classes on SUBLANES (pad 19→24, 1.26×),
+    pixels dense on LANES. 201 MB instead of 1.07 GB at 512².
+  * labels enter as one s32[1, P] row (8-sublane pad ≈ 64 MB — noise).
+  * the ignore-pixel mask and the label→0 remap of ignored pixels are
+    computed IN the kernel from the label row: the [P, 1] operands (and
+    the XLA fusions that wrote them) vanish.
+  * softmax reductions run over sublanes at full 128-lane occupancy
+    (the lane-major kernel wasted 109/128 lanes of every VPU op).
 """
 
 from __future__ import annotations
@@ -21,68 +37,68 @@ from jax.experimental.pallas import tpu as pltpu
 from cl_tpu.pallas import common
 
 NEG_INF = -1e9
-ROWS = 512
 LANES = 128
+BP = 8192  # pixels (lanes) per grid step; [C,BP] f32 block ≈ 0.8 MB VMEM
 
 
-def _ce_kernel(x_ref, valid_ref, label_ref, pixmask_ref, out_ref):
+def _ce_kernel(ignore_index, z_ref, lbl_ref, valid_ref, out_ref):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         out_ref[0, 0] = jnp.float32(0.0)
 
-    v = valid_ref[:]                                   # [1, C] 1/0
-    x = jnp.where(v > 0, x_ref[:], NEG_INF)            # [R, C]
-    m = jnp.max(x, axis=-1, keepdims=True)
-    logz = m + jnp.log(jnp.sum(jnp.exp(x - m), axis=-1, keepdims=True))
-    C = x.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    picked = jnp.sum(jnp.where(col == label_ref[:], x, 0.0), axis=-1,
-                     keepdims=True)
-    out_ref[0, 0] += jnp.sum((logz - picked) * pixmask_ref[:])
+    v = valid_ref[:]                                   # [C, 1] 1/0
+    z = jnp.where(v > 0, z_ref[:], NEG_INF)            # [C, BP]
+    m = jnp.max(z, axis=0, keepdims=True)              # [1, BP]
+    logz = m + jnp.log(jnp.sum(jnp.exp(z - m), axis=0, keepdims=True))
+    lbl = lbl_ref[:]                                   # [1, BP] s32
+    pix = (lbl != ignore_index).astype(jnp.float32)
+    lbl0 = jnp.where(lbl == ignore_index, 0, lbl)
+    row = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+    picked = jnp.sum(jnp.where(row == lbl0, z, 0.0), axis=0, keepdims=True)
+    out_ref[0, 0] += jnp.sum((logz - picked) * pix)
 
 
-def _ce_grad_kernel(x_ref, valid_ref, label_ref, pixmask_ref, scale_ref,
+def _ce_grad_kernel(ignore_index, z_ref, lbl_ref, valid_ref, scale_ref,
                     out_ref):
     v = valid_ref[:]
-    x = jnp.where(v > 0, x_ref[:], NEG_INF)
-    m = jnp.max(x, axis=-1, keepdims=True)
-    e = jnp.exp(x - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    onehot = (col == label_ref[:]).astype(jnp.float32)
-    g = scale_ref[0, 0] * pixmask_ref[:] * (p - onehot)
+    z = jnp.where(v > 0, z_ref[:], NEG_INF)
+    m = jnp.max(z, axis=0, keepdims=True)
+    e = jnp.exp(z - m)
+    p = e / jnp.sum(e, axis=0, keepdims=True)
+    lbl = lbl_ref[:]
+    pix = (lbl != ignore_index).astype(jnp.float32)
+    lbl0 = jnp.where(lbl == ignore_index, 0, lbl)
+    row = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+    onehot = (row == lbl0).astype(jnp.float32)
+    g = scale_ref[0, 0] * pix * (p - onehot)
     out_ref[:] = jnp.where(v > 0, g, 0.0)
 
 
 def _prep(logits, labels, valid_classes, ignore_index):
-    # NO class-dim padding: a block may span the full (non-lane-multiple)
-    # class dim; padding C to 128 in HBM would blow activations up by
-    # 128/C (1.6 GB temps at 512², 19 classes). Rows pad only when P isn't
-    # a ROWS multiple (it is for all power-of-two image sizes).
+    """[B,H,W,C] → class-major [C, Pp] + label row [1, Pp]; lane padding
+    carries ignore_index labels so padded pixels contribute nothing."""
     C = logits.shape[-1]
-    x = logits.astype(jnp.float32).reshape(-1, C)
-    P = x.shape[0]
-    Pp = common.round_up(P, ROWS)
+    z = logits.astype(jnp.float32).reshape(-1, C).T    # [C, P]
+    P = z.shape[1]
+    bp = min(BP, common.round_up(P, LANES))
+    Pp = common.round_up(P, bp)
     if Pp != P:
-        x = jnp.pad(x, ((0, Pp - P), (0, 0)))
-    valid = valid_classes.astype(jnp.float32)[None, :]
-    lbl = labels.reshape(-1).astype(jnp.int32)
-    pix = (lbl != ignore_index).astype(jnp.float32)
-    lbl = jnp.where(lbl == ignore_index, 0, lbl)
+        z = jnp.pad(z, ((0, 0), (0, Pp - P)))
+    lbl = labels.reshape(1, -1).astype(jnp.int32)
     if Pp != P:
-        lbl = jnp.pad(lbl, (0, Pp - P))
-        pix = jnp.pad(pix, (0, Pp - P))
-    return x, valid, lbl[:, None], pix[:, None], P, Pp, C
+        lbl = jnp.pad(lbl, ((0, 0), (0, Pp - P)),
+                      constant_values=ignore_index)
+    valid = valid_classes.astype(jnp.float32)[:, None]  # [C, 1]
+    return z, lbl, valid, P, Pp, bp, C
 
 
-def _specs(Pp, Cp):
-    row = pl.BlockSpec((ROWS, Cp), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    vs = pl.BlockSpec((1, Cp), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    col1 = pl.BlockSpec((ROWS, 1), lambda i: (i, 0),
-                        memory_space=pltpu.VMEM)
-    return row, vs, col1, (Pp // ROWS,)
+def _specs(Pp, C, bp):
+    zs = pl.BlockSpec((C, bp), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ls = pl.BlockSpec((1, bp), lambda i: (0, i), memory_space=pltpu.VMEM)
+    vs = pl.BlockSpec((C, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return zs, ls, vs, (Pp // bp,)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -91,19 +107,20 @@ def _ce(logits, labels, valid_classes, ignore_index):
 
 
 def _ce_impl(logits, labels, valid_classes, ignore_index):
-    x, valid, lbl, pix, P, Pp, Cp = _prep(logits, labels, valid_classes,
-                                          ignore_index)
-    row, vs, col1, grid = _specs(Pp, Cp)
+    z, lbl, valid, P, Pp, bp, C = _prep(logits, labels, valid_classes,
+                                        ignore_index)
+    zs, ls, vs, grid = _specs(Pp, C, bp)
     total = pl.pallas_call(
-        _ce_kernel,
+        functools.partial(_ce_kernel, ignore_index),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         grid=grid,
-        in_specs=[row, vs, col1, col1],
+        in_specs=[zs, ls, vs],
         out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
         interpret=common.interpret_mode(),
-    )(x, valid, lbl, pix)[0, 0]
-    n = jnp.maximum(jnp.sum(pix), 1.0)
+    )(z, lbl, valid)[0, 0]
+    n = jnp.maximum(
+        (labels != ignore_index).sum().astype(jnp.float32), 1.0)
     return total / n
 
 
@@ -114,23 +131,23 @@ def _ce_fwd(logits, labels, valid_classes, ignore_index):
 
 def _ce_bwd(ignore_index, res, g):
     logits, labels, valid_classes = res
-    x, valid, lbl, pix, P, Pp, Cp = _prep(logits, labels, valid_classes,
-                                          ignore_index)
-    row, vs, col1, grid = _specs(Pp, Cp)
-    n = jnp.maximum(jnp.sum(pix), 1.0)
+    z, lbl, valid, P, Pp, bp, C = _prep(logits, labels, valid_classes,
+                                        ignore_index)
+    zs, ls, vs, grid = _specs(Pp, C, bp)
+    n = jnp.maximum(
+        (labels != ignore_index).sum().astype(jnp.float32), 1.0)
     scale = jnp.full((1, 1), g, jnp.float32) / n
-    dx = pl.pallas_call(
-        _ce_grad_kernel,
-        out_shape=jax.ShapeDtypeStruct((Pp, Cp), jnp.float32),
+    dz = pl.pallas_call(
+        functools.partial(_ce_grad_kernel, ignore_index),
+        out_shape=jax.ShapeDtypeStruct((C, Pp), jnp.float32),
         grid=grid,
-        in_specs=[row, vs, col1, col1,
+        in_specs=[zs, ls, vs,
                   pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM)],
-        out_specs=row,
+        out_specs=zs,
         interpret=common.interpret_mode(),
-    )(x, valid, lbl, pix, scale)
-    C = logits.shape[-1]
-    dx = dx[:P, :C].reshape(logits.shape).astype(logits.dtype)
+    )(z, lbl, valid, scale)
+    dx = dz[:, :P].T.reshape(logits.shape).astype(logits.dtype)
     return (dx, np.zeros(labels.shape, jax.dtypes.float0),
             np.zeros(valid_classes.shape, jax.dtypes.float0))
 

@@ -1,4 +1,4 @@
-"""Fused LwF knowledge-distillation loss kernel.
+"""Fused LwF knowledge-distillation loss kernel (class-major layout).
 
 SURVEY.md §2.2: softmax-T + KL + ignore-mask fused per pixel tile —
 one HBM pass over the two logit tensors instead of XLA materializing
@@ -6,13 +6,17 @@ log-softmax intermediates. Custom VJP: the backward is the closed form
 T²/(n·T)·mask·(softmax(new)−softmax(old)) computed by a second fused
 kernel (old logits are a frozen snapshot → no gradient).
 
-Layout: [B,H,W,C] → [P, C] pixels×classes, the full (non-lane-multiple)
-class dim per block with invalid classes masked to −1e9 (they drop out of
-both softmaxes), P tiled in row blocks; sequential-grid scalar
-accumulation; 1/T applied inside the kernel (no host-side logit copy).
-"""
+Layout mirrors ``cl_tpu.pallas.ce_loss``: Pallas operands get a forced
+row-major (8,128)-tiled layout, so pixels×classes [P, C] would lane-pad
+C→128 (6.7× HBM traffic at 19 classes) and per-pixel [P, 1] side inputs
+would pad 128×. Both logit tensors therefore enter CLASS-MAJOR [C, P]
+(classes on sublanes, pixels dense on lanes), labels enter as one
+s32[1, P] row, and the ignore mask is computed in-kernel; 1/T is applied
+inside the kernel from SMEM (no host-side logit copy)."""
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -22,79 +26,76 @@ from jax.experimental.pallas import tpu as pltpu
 from cl_tpu.pallas import common
 
 NEG_INF = -1e9
-ROWS = 512  # pixel rows per grid step
 LANES = 128
+BP = 8192  # pixels (lanes) per grid step
 
 
-def _log_softmax(x):
-    m = jnp.max(x, axis=-1, keepdims=True)
+def _log_softmax0(x):
+    m = jnp.max(x, axis=0, keepdims=True)
     s = x - m
-    return s - jnp.log(jnp.sum(jnp.exp(s), axis=-1, keepdims=True))
+    return s - jnp.log(jnp.sum(jnp.exp(s), axis=0, keepdims=True))
 
 
-def _kd_kernel(new_ref, old_ref, valid_ref, pixmask_ref, invt_ref,
-               out_ref):
+def _kd_kernel(ignore_index, new_ref, old_ref, lbl_ref, valid_ref,
+               invt_ref, out_ref):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         out_ref[0, 0] = jnp.float32(0.0)
 
-    v = valid_ref[:]  # [1, C] f32 1/0
+    v = valid_ref[:]  # [C, 1] f32 1/0
     inv_t = invt_ref[0, 0]
-    new_m = jnp.where(v > 0, new_ref[:] * inv_t, NEG_INF)
+    new_m = jnp.where(v > 0, new_ref[:] * inv_t, NEG_INF)  # [C, BP]
     old_m = jnp.where(v > 0, old_ref[:] * inv_t, NEG_INF)
-    ls_new = _log_softmax(new_m)
-    ls_old = _log_softmax(old_m)
+    ls_new = _log_softmax0(new_m)
+    ls_old = _log_softmax0(old_m)
     p_old = jnp.exp(ls_old)
-    kl = jnp.sum(p_old * (ls_old - ls_new), axis=-1, keepdims=True)  # [R,1]
-    out_ref[0, 0] += jnp.sum(kl * pixmask_ref[:])
+    kl = jnp.sum(p_old * (ls_old - ls_new), axis=0, keepdims=True)  # [1,BP]
+    pix = (lbl_ref[:] != ignore_index).astype(jnp.float32)
+    out_ref[0, 0] += jnp.sum(kl * pix)
 
 
-def _kd_grad_kernel(new_ref, old_ref, valid_ref, pixmask_ref, scale_ref,
-                    invt_ref, out_ref):
+def _kd_grad_kernel(ignore_index, new_ref, old_ref, lbl_ref, valid_ref,
+                    scale_ref, invt_ref, out_ref):
     v = valid_ref[:]
     inv_t = invt_ref[0, 0]
     new_m = jnp.where(v > 0, new_ref[:] * inv_t, NEG_INF)
     old_m = jnp.where(v > 0, old_ref[:] * inv_t, NEG_INF)
-    p_new = jnp.exp(_log_softmax(new_m))
-    p_old = jnp.exp(_log_softmax(old_m))
-    g = scale_ref[0, 0] * pixmask_ref[:] * (p_new - p_old)
+    p_new = jnp.exp(_log_softmax0(new_m))
+    p_old = jnp.exp(_log_softmax0(old_m))
+    pix = (lbl_ref[:] != ignore_index).astype(jnp.float32)
+    g = scale_ref[0, 0] * pix * (p_new - p_old)
     out_ref[:] = jnp.where(v > 0, g, 0.0)
 
 
 def _prep(new_logits, old_logits, old_valid, labels, temperature,
           ignore_index):
-    # NO class padding (HBM blowup — see ce_loss._prep) and NO host-side
-    # /T (it would copy the full logit tensor): the kernel scales by the
-    # inverse temperature from SMEM.
+    """[B,H,W,C] → class-major [C, Pp] ×2 + label row [1, Pp]; lane
+    padding carries ignore_index labels so padded pixels contribute 0."""
     C = new_logits.shape[-1]
-    new2 = new_logits.astype(jnp.float32).reshape(-1, C)
-    old2 = old_logits.astype(jnp.float32).reshape(-1, C)
-    P = new2.shape[0]
-    Pp = common.round_up(P, ROWS)
+    new2 = new_logits.astype(jnp.float32).reshape(-1, C).T  # [C, P]
+    old2 = old_logits.astype(jnp.float32).reshape(-1, C).T
+    P = new2.shape[1]
+    bp = min(BP, common.round_up(P, LANES))
+    Pp = common.round_up(P, bp)
     if Pp != P:
-        new2 = jnp.pad(new2, ((0, Pp - P), (0, 0)))
-        old2 = jnp.pad(old2, ((0, Pp - P), (0, 0)))
-    valid = old_valid.astype(jnp.float32)[None, :]
-    pix = (labels.reshape(-1) != ignore_index).astype(jnp.float32)
+        new2 = jnp.pad(new2, ((0, 0), (0, Pp - P)))
+        old2 = jnp.pad(old2, ((0, 0), (0, Pp - P)))
+    lbl = labels.reshape(1, -1).astype(jnp.int32)
     if Pp != P:
-        pix = jnp.pad(pix, (0, Pp - P))
+        lbl = jnp.pad(lbl, ((0, 0), (0, Pp - P)),
+                      constant_values=ignore_index)
+    valid = old_valid.astype(jnp.float32)[:, None]  # [C, 1]
     inv_t = jnp.full((1, 1), 1.0 / temperature, jnp.float32)
-    return new2, old2, valid, pix[:, None], inv_t, P, Pp, C
+    return new2, old2, lbl, valid, inv_t, P, Pp, bp, C
 
 
-def _specs(Pp: int, Cp: int):
-    row_spec = pl.BlockSpec((ROWS, Cp), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    valid_spec = pl.BlockSpec((1, Cp), lambda i: (0, 0),
-                              memory_space=pltpu.VMEM)
-    pix_spec = pl.BlockSpec((ROWS, 1), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    return row_spec, valid_spec, pix_spec, (Pp // ROWS,)
-
-
-import functools
+def _specs(Pp: int, C: int, bp: int):
+    zs = pl.BlockSpec((C, bp), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ls = pl.BlockSpec((1, bp), lambda i: (0, i), memory_space=pltpu.VMEM)
+    vs = pl.BlockSpec((C, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return zs, ls, vs, (Pp // bp,)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -112,22 +113,27 @@ def kd_loss(new_logits, old_logits, old_valid, labels, *, temperature,
                float(temperature), int(ignore_index))
 
 
+def _n_pix(labels, ignore_index):
+    return jnp.maximum(
+        (labels != ignore_index).sum().astype(jnp.float32), 1.0)
+
+
 def _kd_impl(new_logits, old_logits, old_valid, labels, temperature,
              ignore_index):
-    new2, old2, valid, pix, inv_t, P, Pp, Cp = _prep(
+    new2, old2, lbl, valid, inv_t, P, Pp, bp, C = _prep(
         new_logits, old_logits, old_valid, labels, temperature, ignore_index)
-    row_spec, valid_spec, pix_spec, grid = _specs(Pp, Cp)
+    zs, ls, vs, grid = _specs(Pp, C, bp)
     smem1 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     total = pl.pallas_call(
-        _kd_kernel,
+        functools.partial(_kd_kernel, ignore_index),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         grid=grid,
-        in_specs=[row_spec, row_spec, valid_spec, pix_spec, smem1],
+        in_specs=[zs, zs, ls, vs, smem1],
         out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
         interpret=common.interpret_mode(),
-    )(new2, old2, valid, pix, inv_t)[0, 0]
-    n = jnp.maximum(jnp.sum(pix), 1.0)
+    )(new2, old2, lbl, valid, inv_t)[0, 0]
+    n = _n_pix(labels, ignore_index)
     t2 = temperature * temperature
     return t2 * total / n, n
 
@@ -140,26 +146,25 @@ def _kd_fwd(new_logits, old_logits, old_valid, labels, temperature,
 
 
 def _kd_bwd(temperature, ignore_index, res, g):
+    import numpy as np
+
     new_logits, old_logits, old_valid, labels = res
-    new2, old2, valid, pix, inv_t, P, Pp, Cp = _prep(
+    new2, old2, lbl, valid, inv_t, P, Pp, bp, C = _prep(
         new_logits, old_logits, old_valid, labels, temperature, ignore_index)
-    row_spec, valid_spec, pix_spec, grid = _specs(Pp, Cp)
-    n = jnp.maximum(jnp.sum(pix), 1.0)
+    zs, ls, vs, grid = _specs(Pp, C, bp)
+    n = _n_pix(labels, ignore_index)
     # d loss/d new_logits = (T²/n)·(1/T)·mask·(p_new − p_old) = (T/n)·…
     scale = jnp.full((1, 1), g, jnp.float32) * temperature / n
     smem1 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     dnew = pl.pallas_call(
-        _kd_grad_kernel,
-        out_shape=jax.ShapeDtypeStruct((Pp, Cp), jnp.float32),
+        functools.partial(_kd_grad_kernel, ignore_index),
+        out_shape=jax.ShapeDtypeStruct((C, Pp), jnp.float32),
         grid=grid,
-        in_specs=[row_spec, row_spec, valid_spec, pix_spec, smem1, smem1],
-        out_specs=row_spec,
+        in_specs=[zs, zs, ls, vs, smem1, smem1],
+        out_specs=zs,
         interpret=common.interpret_mode(),
-    )(new2, old2, valid, pix, scale, inv_t)
-    import numpy as np
-
-    C = new_logits.shape[-1]
-    dnew = dnew[:P, :C].reshape(new_logits.shape).astype(new_logits.dtype)
+    )(new2, old2, lbl, valid, scale, inv_t)
+    dnew = dnew[:, :P].T.reshape(new_logits.shape).astype(new_logits.dtype)
     # old logits are stop-gradient state (zero cotangent, DCE'd); bool/int
     # primals take float0 cotangents.
     return (dnew, jnp.zeros_like(old_logits),
