@@ -177,3 +177,72 @@ def test_ce_loss_gradient_matches_jnp():
         lambda x: ce_pallas.cross_entropy(x, labels_j, valid)[0])(logits)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                atol=1e-6)
+
+
+def test_ce_loss_odd_pixel_count():
+    # P=3*5*5=75 is not a multiple of 128: exercises the lane-padding path
+    # (padding carries ignore_index so padded pixels contribute nothing).
+    from cl_tpu.pallas import ce_loss as ce_pallas
+
+    rng = np.random.RandomState(13)
+    logits = jnp.asarray(rng.randn(3, 5, 5, 6).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 6, size=(3, 5, 5)).astype(np.int32))
+    valid = jnp.asarray(np.ones(6, bool))
+    ref, _ = losses.cross_entropy(logits, labels, valid)
+    got, _ = ce_pallas.cross_entropy(logits, labels, valid)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    g_ref = jax.grad(lambda x: losses.cross_entropy(x, labels, valid)[0])(
+        logits)
+    g_got = jax.grad(
+        lambda x: ce_pallas.cross_entropy(x, labels, valid)[0])(logits)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=1e-6)
+
+
+def test_ce_loss_all_ignored():
+    # Every pixel ignored: loss 0, grad 0, n clamps to 1 (no div-by-zero).
+    from cl_tpu.pallas import ce_loss as ce_pallas
+
+    rng = np.random.RandomState(14)
+    logits = jnp.asarray(rng.randn(1, 8, 8, 5).astype(np.float32))
+    labels = jnp.full((1, 8, 8), 255, np.int32)
+    valid = jnp.asarray(np.ones(5, bool))
+    got, n = ce_pallas.cross_entropy(logits, labels, valid)
+    assert float(got) == 0.0 and float(n) == 1.0
+    g = jax.grad(
+        lambda x: ce_pallas.cross_entropy(x, labels, valid)[0])(logits)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_ce_loss_bf16_logits():
+    # bf16 logits (the train step's compute dtype): the kernel upcasts to
+    # f32 internally; result equals the jnp oracle fed the same bf16 input.
+    from cl_tpu.pallas import ce_loss as ce_pallas
+
+    rng = np.random.RandomState(15)
+    logits = jnp.asarray(rng.randn(2, 8, 8, 5).astype(np.float32))
+    logits_bf = logits.astype(jnp.bfloat16)
+    labels = jnp.asarray(rng.randint(0, 5, size=(2, 8, 8)).astype(np.int32))
+    valid = jnp.asarray(np.ones(5, bool))
+    ref, _ = losses.cross_entropy(logits_bf, labels, valid)
+    got, _ = ce_pallas.cross_entropy(logits_bf, labels, valid)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+
+def test_kd_loss_odd_pixel_count():
+    from cl_tpu.pallas import kd_loss as kd_odd
+
+    rng = np.random.RandomState(16)
+    new = jnp.asarray(rng.randn(1, 7, 9, 5).astype(np.float32))
+    old = jnp.asarray(rng.randn(1, 7, 9, 5).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 5, size=(1, 7, 9)).astype(np.int32))
+    valid = jnp.asarray(np.array([True, True, True, False, False]))
+    ref = losses.kd_loss_jnp(new, old, valid, labels, temperature=2.0)
+    got = kd_odd.kd_loss(new, old, valid, labels, temperature=2.0)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    g_ref = jax.grad(lambda x: losses.kd_loss_jnp(
+        x, old, valid, labels, temperature=2.0))(new)
+    g_got = jax.grad(lambda x: kd_odd.kd_loss(
+        x, old, valid, labels, temperature=2.0))(new)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               atol=1e-6)
