@@ -216,7 +216,10 @@ def _preset_baseline_5() -> Config:
                         source_size=576, batch_size=64,  # 8 per chip on v5e-8
                         train_images_per_task=256, val_images_per_task=64),
         model=ModelConfig(base_channels=32),
-        method=MethodConfig(methods=("ewc", "lwf", "replay")),
+        # replay_batch=8: the replay-widened batch (64+8) must shard evenly
+        # over the 8-chip mesh (train() checks batch+replay_batch).
+        method=MethodConfig(methods=("ewc", "lwf", "replay"),
+                            replay_batch=8),
         train=TrainConfig(num_tasks=5, epochs_per_task=2,
                           compute_dtype="bfloat16", data_parallel=True),
     )

@@ -51,16 +51,24 @@ class DeviceDatasetCache:
         return self.images.nbytes + self.masks.nbytes
 
     def batches(self, *, batch_size: int, epoch: int, seed: int,
-                shuffle: bool, flip_prob: float
+                shuffle: bool, flip_prob: float, pad_final: bool = False,
+                ignore_index: int = 255
                 ) -> Iterator["pipeline.HostBatch"]:
-        """Device-resident batches following the exact host epoch plan."""
+        """Device-resident batches following the exact host epoch plan.
+        With ``pad_final``, padding rows (idx −1) carry an all-ignore
+        mask — identical to the host pipeline's eval contract."""
         for idx, flip in pipeline.epoch_plan(
                 self.n, batch_size=batch_size, epoch=epoch, seed=seed,
-                shuffle=shuffle, flip_prob=flip_prob):
-            di = jnp.asarray(idx.astype(np.int32))  # tiny H2D
+                shuffle=shuffle, flip_prob=flip_prob, pad_final=pad_final):
+            pad = idx < 0
+            di = jnp.asarray(np.where(pad, 0, idx).astype(np.int32))
+            mask = jnp.take(self.masks, di, axis=0)
+            if pad.any():
+                mask = jnp.where(jnp.asarray(pad)[:, None, None],
+                                 jnp.uint8(ignore_index), mask)
             yield pipeline.HostBatch(
                 image=jnp.take(self.images, di, axis=0),
-                mask=jnp.take(self.masks, di, axis=0),
+                mask=mask,
                 flip=jnp.asarray(flip),
             )
 

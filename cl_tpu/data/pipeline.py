@@ -49,16 +49,29 @@ def epoch_plan(
     seed: int,
     shuffle: bool,
     flip_prob: float,
+    pad_final: bool = False,
 ) -> Iterator[tuple[np.ndarray, np.ndarray]]:
     """The seeded (indices, flips) stream for one epoch — the single
     source of truth shared by the host pipeline, the HBM-resident dataset
     cache, and the torch oracle, so every consumer sees identical batches
     (SURVEY.md §6 determinism). Drops the trailing partial batch (static
-    shapes for jit)."""
+    shapes for jit) — except with ``pad_final=True`` (the EVAL contract:
+    dropping val images would skew mIoU, and a val set smaller than the
+    batch would produce no eval at all), where the trailing batch is
+    emitted full-size with padding slots marked idx=-1; consumers must
+    turn those rows' masks into pure ignore_index so they contribute
+    nothing."""
     order = _epoch_order(n, seed=seed, epoch=epoch, shuffle=shuffle)
     flip_rng = np.random.RandomState((seed + 31 * epoch + 7) % (2**31 - 1))
     for b in range(n // batch_size):
         idx = order[b * batch_size:(b + 1) * batch_size]
+        flip = (flip_rng.rand(batch_size) < flip_prob) if flip_prob > 0 else \
+            np.zeros(batch_size, dtype=bool)
+        yield idx, flip.astype(bool)
+    rem = n % batch_size
+    if pad_final and rem:
+        idx = np.full(batch_size, -1, dtype=order.dtype)
+        idx[:rem] = order[n - rem:]
         flip = (flip_rng.rand(batch_size) < flip_prob) if flip_prob > 0 else \
             np.zeros(batch_size, dtype=bool)
         yield idx, flip.astype(bool)
@@ -72,20 +85,29 @@ def batches(
     seed: int,
     shuffle: bool,
     flip_prob: float,
+    pad_final: bool = False,
+    ignore_index: int = 255,
 ) -> Iterator[HostBatch]:
-    """Deterministic host batch stream for one epoch (see epoch_plan)."""
+    """Deterministic host batch stream for one epoch (see epoch_plan).
+    With ``pad_final``, padding rows (idx −1) carry an all-ignore mask."""
     batched = getattr(dataset, "get_batch", None)  # native threaded path
     for idx, flip in epoch_plan(len(dataset), batch_size=batch_size,
                                 epoch=epoch, seed=seed, shuffle=shuffle,
-                                flip_prob=flip_prob):
+                                flip_prob=flip_prob, pad_final=pad_final):
+        pad = idx < 0
+        safe = np.where(pad, 0, idx)
         if batched is not None:
-            image, masks = batched(idx)
+            image, masks = batched(safe)
         else:
-            imgs, masks = zip(*(dataset[int(i)] for i in idx))
+            imgs, masks = zip(*(dataset[int(i)] for i in safe))
             image, masks = np.stack(imgs), np.stack(masks)
+        masks = masks.astype(np.uint8)
+        if pad.any():
+            masks = masks.copy()
+            masks[pad] = ignore_index
         yield HostBatch(
             image=image,
-            mask=masks.astype(np.uint8),
+            mask=masks,
             flip=flip,
         )
 
@@ -130,7 +152,8 @@ def val_batches(cfg: Config, task_id: int) -> Iterator[HostBatch]:
     _, val_ds = make_datasets(cfg, task_id)
     return batches(val_ds, batch_size=cfg.data.batch_size, epoch=0,
                    seed=cfg.data.shuffle_seed + 1000 * task_id, shuffle=False,
-                   flip_prob=0.0)
+                   flip_prob=0.0, pad_final=True,
+                   ignore_index=cfg.data.ignore_index)
 
 
 # ---------------------------------------------------------------------------

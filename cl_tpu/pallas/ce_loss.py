@@ -102,15 +102,17 @@ def _specs(Pp, C, bp):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _ce(logits, labels, valid_classes, ignore_index):
-    return _ce_impl(logits, labels, valid_classes, ignore_index)
+def _ce_total(logits, labels, valid_classes, ignore_index):
+    """UNNORMALIZED Σ per-pixel NLL — the 1/n mean is applied outside so
+    the sharded variant can psum totals and counts independently."""
+    return _ce_total_impl(logits, labels, valid_classes, ignore_index)
 
 
-def _ce_impl(logits, labels, valid_classes, ignore_index):
+def _ce_total_impl(logits, labels, valid_classes, ignore_index):
     z, lbl, valid, P, Pp, bp, C = _prep(logits, labels, valid_classes,
                                         ignore_index)
     zs, ls, vs, grid = _specs(Pp, C, bp)
-    total = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_ce_kernel, ignore_index),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         grid=grid,
@@ -119,13 +121,10 @@ def _ce_impl(logits, labels, valid_classes, ignore_index):
                                memory_space=pltpu.SMEM),
         interpret=common.interpret_mode(),
     )(z, lbl, valid)[0, 0]
-    n = jnp.maximum(
-        (labels != ignore_index).sum().astype(jnp.float32), 1.0)
-    return total / n
 
 
 def _ce_fwd(logits, labels, valid_classes, ignore_index):
-    return (_ce_impl(logits, labels, valid_classes, ignore_index),
+    return (_ce_total_impl(logits, labels, valid_classes, ignore_index),
             (logits, labels, valid_classes))
 
 
@@ -134,9 +133,7 @@ def _ce_bwd(ignore_index, res, g):
     z, lbl, valid, P, Pp, bp, C = _prep(logits, labels, valid_classes,
                                         ignore_index)
     zs, ls, vs, grid = _specs(Pp, C, bp)
-    n = jnp.maximum(
-        (labels != ignore_index).sum().astype(jnp.float32), 1.0)
-    scale = jnp.full((1, 1), g, jnp.float32) / n
+    scale = jnp.full((1, 1), g, jnp.float32)
     dz = pl.pallas_call(
         functools.partial(_ce_grad_kernel, ignore_index),
         out_shape=jax.ShapeDtypeStruct((C, Pp), jnp.float32),
@@ -152,12 +149,32 @@ def _ce_bwd(ignore_index, res, g):
             np.zeros(valid_classes.shape, jax.dtypes.float0))
 
 
-_ce.defvjp(_ce_fwd, _ce_bwd)
+_ce_total.defvjp(_ce_fwd, _ce_bwd)
+
+
+def _n_pix(labels, ignore_index):
+    return jnp.maximum(
+        (labels != ignore_index).sum().astype(jnp.float32), 1.0)
 
 
 def cross_entropy(logits, labels, valid_classes, *, ignore_index=255):
     """Fused variant of ``cl_tpu.losses.cross_entropy`` (same return:
-    (mean NLL over non-ignored pixels, n_valid_pixels))."""
-    loss = _ce(logits, labels, valid_classes, int(ignore_index))
-    n = jnp.maximum((labels != ignore_index).sum().astype(jnp.float32), 1.0)
-    return loss, n
+    (mean NLL over non-ignored pixels, n_valid_pixels)). The 1/n division
+    happens outside the custom VJP; AD feeds the grad kernel g/n — the
+    same closed-form backward as before."""
+    n = _n_pix(labels, ignore_index)
+    return _ce_total(logits, labels, valid_classes, int(ignore_index)) / n, n
+
+
+def cross_entropy_sharded(logits, labels, valid_classes, *, axis,
+                          ignore_index=255):
+    """Batch-sharded CE for use INSIDE ``jax.shard_map`` over ``axis``:
+    each device runs the class-major kernel on its local pixels, then the
+    global mean is Σ(local totals) / Σ(local counts) via psum. Exactly the
+    single-device arithmetic up to f32 summation order (tested equal on
+    the virtual mesh). Returns (loss, global n) — both replicated."""
+    total = _ce_total(logits, labels, valid_classes, int(ignore_index))
+    n_local = (labels != ignore_index).sum().astype(jnp.float32)
+    total = jax.lax.psum(total, axis)
+    n = jnp.maximum(jax.lax.psum(n_local, axis), 1.0)
+    return total / n, n

@@ -99,18 +99,13 @@ def _specs(Pp: int, C: int, bp: int):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _kd(new_logits, old_logits, old_valid, labels, temperature,
-        ignore_index):
-    return _kd_impl(new_logits, old_logits, old_valid, labels, temperature,
-                    ignore_index)[0]
-
-
-def kd_loss(new_logits, old_logits, old_valid, labels, *, temperature,
-            ignore_index=255):
-    """T²·KL(softmax(old/T) ‖ softmax(new/T)) mean over non-ignored pixels.
-    Same contract as ``cl_tpu.losses.kd_loss_jnp`` (tests assert equality)."""
-    return _kd(new_logits, old_logits, old_valid, labels,
-               float(temperature), int(ignore_index))
+def _kd_total(new_logits, old_logits, old_valid, labels, temperature,
+              ignore_index):
+    """UNNORMALIZED Σ per-pixel KL (at temperature T, before the T²/n
+    factor) — normalization happens outside so the sharded variant can
+    psum totals and counts independently."""
+    return _kd_total_impl(new_logits, old_logits, old_valid, labels,
+                          temperature, ignore_index)
 
 
 def _n_pix(labels, ignore_index):
@@ -118,13 +113,39 @@ def _n_pix(labels, ignore_index):
         (labels != ignore_index).sum().astype(jnp.float32), 1.0)
 
 
-def _kd_impl(new_logits, old_logits, old_valid, labels, temperature,
-             ignore_index):
+def kd_loss(new_logits, old_logits, old_valid, labels, *, temperature,
+            ignore_index=255):
+    """T²·KL(softmax(old/T) ‖ softmax(new/T)) mean over non-ignored pixels.
+    Same contract as ``cl_tpu.losses.kd_loss_jnp`` (tests assert equality).
+    The T²/n factor is applied outside the custom VJP; AD feeds the grad
+    kernel g·T²/n, matching the closed form (T/n)·mask·(p_new − p_old)."""
+    t = float(temperature)
+    total = _kd_total(new_logits, old_logits, old_valid, labels, t,
+                      int(ignore_index))
+    return t * t * total / _n_pix(labels, ignore_index)
+
+
+def kd_loss_sharded(new_logits, old_logits, old_valid, labels, *, axis,
+                    temperature, ignore_index=255):
+    """Batch-sharded KD for use INSIDE ``jax.shard_map`` over ``axis``
+    (see ``ce_loss.cross_entropy_sharded``). Returns the replicated
+    global-mean loss."""
+    t = float(temperature)
+    total = _kd_total(new_logits, old_logits, old_valid, labels, t,
+                      int(ignore_index))
+    n_local = (labels != ignore_index).sum().astype(jnp.float32)
+    total = jax.lax.psum(total, axis)
+    n = jnp.maximum(jax.lax.psum(n_local, axis), 1.0)
+    return t * t * total / n
+
+
+def _kd_total_impl(new_logits, old_logits, old_valid, labels, temperature,
+                   ignore_index):
     new2, old2, lbl, valid, inv_t, P, Pp, bp, C = _prep(
         new_logits, old_logits, old_valid, labels, temperature, ignore_index)
     zs, ls, vs, grid = _specs(Pp, C, bp)
     smem1 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
-    total = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kd_kernel, ignore_index),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         grid=grid,
@@ -133,15 +154,12 @@ def _kd_impl(new_logits, old_logits, old_valid, labels, temperature,
                                memory_space=pltpu.SMEM),
         interpret=common.interpret_mode(),
     )(new2, old2, lbl, valid, inv_t)[0, 0]
-    n = _n_pix(labels, ignore_index)
-    t2 = temperature * temperature
-    return t2 * total / n, n
 
 
 def _kd_fwd(new_logits, old_logits, old_valid, labels, temperature,
             ignore_index):
-    loss = _kd_impl(new_logits, old_logits, old_valid, labels,
-                    temperature, ignore_index)[0]
+    loss = _kd_total_impl(new_logits, old_logits, old_valid, labels,
+                          temperature, ignore_index)
     return loss, (new_logits, old_logits, old_valid, labels)
 
 
@@ -152,9 +170,9 @@ def _kd_bwd(temperature, ignore_index, res, g):
     new2, old2, lbl, valid, inv_t, P, Pp, bp, C = _prep(
         new_logits, old_logits, old_valid, labels, temperature, ignore_index)
     zs, ls, vs, grid = _specs(Pp, C, bp)
-    n = _n_pix(labels, ignore_index)
-    # d loss/d new_logits = (T²/n)·(1/T)·mask·(p_new − p_old) = (T/n)·…
-    scale = jnp.full((1, 1), g, jnp.float32) * temperature / n
+    # d total/d new_logits = (1/T)·mask·(p_new − p_old); the outer T²/n
+    # arrives through g.
+    scale = jnp.full((1, 1), g, jnp.float32) / temperature
     smem1 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     dnew = pl.pallas_call(
         functools.partial(_kd_grad_kernel, ignore_index),
@@ -172,4 +190,4 @@ def _kd_bwd(temperature, ignore_index, res, g):
             np.zeros(labels.shape, jax.dtypes.float0))
 
 
-_kd.defvjp(_kd_fwd, _kd_bwd)
+_kd_total.defvjp(_kd_fwd, _kd_bwd)

@@ -140,11 +140,42 @@ def make_train_step(cfg: Config, model: UNet, tx,
     use_ewc = "ewc" in m.methods
     use_lwf = "lwf" in m.methods
     use_pallas = cfg.train.use_pallas
-    # Batch-dim kernels (augment, KD) under a mesh: a pallas_call has no
-    # partitioning rule, so SPMD would all-gather the sharded batch around
-    # it. The jnp paths partition cleanly, so they win under DP; the
-    # EWC kernels stay pallas (params are replicated — no resharding).
+    # Batch-dim kernels under a mesh: a bare pallas_call has no SPMD
+    # partitioning rule, so the partitioner would all-gather the sharded
+    # batch around it. CE/KD therefore run through shard_map when a mesh
+    # is present — each device runs the class-major kernel on its local
+    # pixels and the global mean is psum(total)/psum(count) (see
+    # ce_loss.cross_entropy_sharded). Augment keeps its jnp default
+    # (TrainConfig.pallas_augment); EWC kernels need no wrapping (params
+    # are replicated — nothing reshards).
     use_pallas_batch = use_pallas and mesh is None
+    ce_sharded = kd_sharded = None
+    if use_pallas and mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from cl_tpu.pallas import ce_loss as ce_pallas_s
+        from cl_tpu.pallas import kd_loss as kd_pallas_s
+
+        ce_sharded = jax.shard_map(
+            lambda lg, lb, v: ce_pallas_s.cross_entropy_sharded(
+                lg, lb, v, axis=sharding.DATA_AXIS,
+                ignore_index=cfg.data.ignore_index),
+            mesh=mesh,
+            in_specs=(P(sharding.DATA_AXIS), P(sharding.DATA_AXIS), P()),
+            out_specs=(P(), P()),
+            # pallas_call carries no varying-mesh-axes annotation;
+            # correctness of the replicated outputs is by the psums above.
+            check_vma=False)
+        if use_lwf:
+            kd_sharded = jax.shard_map(
+                lambda nw, od, v, lb: kd_pallas_s.kd_loss_sharded(
+                    nw, od, v, lb, axis=sharding.DATA_AXIS,
+                    temperature=m.lwf_temperature,
+                    ignore_index=cfg.data.ignore_index),
+                mesh=mesh,
+                in_specs=(P(sharding.DATA_AXIS), P(sharding.DATA_AXIS),
+                          P(), P(sharding.DATA_AXIS)),
+                out_specs=P(), check_vma=False)
     # Augment is gated separately: the jnp einsum resize outruns the
     # per-(image,channel) pallas programs (see TrainConfig.pallas_augment).
     use_pallas_aug = use_pallas_batch and cfg.train.pallas_augment
@@ -176,6 +207,8 @@ def make_train_step(cfg: Config, model: UNet, tx,
                 from cl_tpu.pallas import ce_loss as ce_pallas
                 ce, n_pix = ce_pallas.cross_entropy(
                     logits, y, valid_classes, ignore_index=d.ignore_index)
+            elif ce_sharded is not None:
+                ce, n_pix = ce_sharded(logits, y, valid_classes)
             else:
                 ce, n_pix = losses.cross_entropy(
                     logits, y, valid_classes, ignore_index=d.ignore_index)
@@ -191,11 +224,15 @@ def make_train_step(cfg: Config, model: UNet, tx,
                 total = total + m.ewc_lambda * pen
                 aux["ewc_penalty"] = pen
             if use_lwf:
-                kd = lwf_lib.distill_loss(
-                    logits, old, state.lwf, y,
-                    temperature=m.lwf_temperature,
-                    use_pallas=use_pallas_batch,
-                    ignore_index=d.ignore_index)
+                if kd_sharded is not None:
+                    kd = state.lwf.weight * kd_sharded(
+                        logits, old, state.lwf.old_valid, y)
+                else:
+                    kd = lwf_lib.distill_loss(
+                        logits, old, state.lwf, y,
+                        temperature=m.lwf_temperature,
+                        use_pallas=use_pallas_batch,
+                        ignore_index=d.ignore_index)
                 total = total + m.lwf_alpha * kd
                 aux["kd"] = kd
             aux["loss"] = total
@@ -469,6 +506,12 @@ def train(cfg: Config) -> dict:
             caches[task_id] = DeviceDatasetCache(ds)
         return caches[task_id]
 
+    if use_replay and mesh is not None:
+        # Replay widens every step's batch by replay_batch rows before the
+        # put, so the WIDENED batch is what shards over the mesh.
+        sharding.check_divisible(
+            cfg.data.batch_size + cfg.method.replay_batch, mesh)
+
     miou_matrix = np.full((T, T), np.nan)
     start_task = 0
     if cfg.train.resume and cfg.train.checkpoint_dir:
@@ -573,7 +616,8 @@ def train(cfg: Config) -> dict:
                 val_it = caches[("val", k)].batches(
                     batch_size=cfg.data.batch_size, epoch=0,
                     seed=cfg.data.shuffle_seed + 1000 * k,
-                    shuffle=False, flip_prob=0.0)
+                    shuffle=False, flip_prob=0.0, pad_final=True,
+                    ignore_index=cfg.data.ignore_index)
             res = evaluate_task(cfg, eval_step, state, k, seen_valid,
                                 mesh=mesh, batch_it=val_it)
             miou_matrix[task_id, k] = res["miou"]

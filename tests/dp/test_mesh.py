@@ -135,3 +135,40 @@ def test_2d_mesh_channel_sharded_forward(eight_devices):
     got = jax.jit(lambda p, x: model.apply({"params": p}, x, train=False))(
         params_sh, x_sh)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4)
+
+
+def test_sharded_pallas_losses_match_single_device(eight_devices):
+    # The mesh path routes CE/KD through shard_map'd class-major kernels
+    # (psum(total)/psum(count)); the full EWC+LwF step must still match
+    # the single-device step.
+    cfg = _cfg()
+    cfg = cfg.replace(method=dataclasses.replace(
+        cfg.method, methods=("ewc", "lwf")))
+    model = train_lib.build_model(cfg)
+    tx = train_lib.build_optimizer(cfg)
+    valid = jnp.asarray(task_lib.valid_class_mask(
+        cfg.data.num_classes, task_lib.seen_classes(cfg.classes_per_task, 0)))
+    batch = _first_batch(cfg)
+
+    mesh = sharding.make_mesh(eight_devices[:4])
+    step_m = train_lib.make_train_step(cfg, model, tx, mesh=mesh)
+    step_1 = train_lib.make_train_step(cfg, model, tx, mesh=None)
+
+    state0 = train_lib.init_state(cfg, model, tx)
+    # Arm LwF so the KD branch carries signal (weight=1, snapshot=init).
+    from cl_tpu.methods import lwf as lwf_lib
+    state0 = state0.replace(lwf=lwf_lib.lwf_after_task(
+        state0.lwf, {"params": state0.params, **state0.model_state}, valid))
+    sm, am = step_m(state0, batch, valid)
+
+    state1 = train_lib.init_state(cfg, model, tx)
+    state1 = state1.replace(lwf=lwf_lib.lwf_after_task(
+        state1.lwf, {"params": state1.params, **state1.model_state}, valid))
+    s1, a1 = step_1(state1, batch, valid)
+
+    np.testing.assert_allclose(float(am["loss"]), float(a1["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(am["kd"]), float(a1["kd"]),
+                               rtol=1e-4, atol=1e-7)
+    for pm, p1 in zip(jax.tree.leaves(sm.params), jax.tree.leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(pm), np.asarray(p1), atol=1e-3)

@@ -131,3 +131,51 @@ def test_replay_mix_concatenates():
                   np.ones((2, 8, 8), np.int32), np.ones(2, bool))
     m = replay_mix(b, r)
     assert m.image.shape[0] == 6 and m.flip[-1]
+
+
+def test_pad_final_covers_all_images():
+    # 10 images, batch 4: val must emit 3 batches (last padded with idx=-1
+    # rows whose masks are all ignore) — dropping val data skews mIoU.
+    plan = list(pipeline.epoch_plan(10, batch_size=4, epoch=0, seed=0,
+                                    shuffle=False, flip_prob=0.0,
+                                    pad_final=True))
+    assert len(plan) == 3
+    idx = np.concatenate([i for i, _ in plan])
+    assert sorted(idx[idx >= 0].tolist()) == list(range(10))
+    assert (idx == -1).sum() == 2
+
+    ds = SyntheticSegDataset(num_images=10, size=16, task_classes=[1], seed=0)
+    got = _collect(pipeline.batches(ds, batch_size=4, epoch=0, seed=0,
+                                    shuffle=False, flip_prob=0.0,
+                                    pad_final=True, ignore_index=255))
+    assert len(got) == 3 and all(b.image.shape[0] == 4 for b in got)
+    assert (got[-1].mask[2:] == 255).all()  # padded rows: pure ignore
+    assert not (got[-1].mask[:2] == 255).all()
+
+
+def test_pad_final_smaller_than_batch():
+    # val set smaller than the batch (the degenerate case that used to
+    # produce ZERO eval batches -> NaN mIoU).
+    plan = list(pipeline.epoch_plan(3, batch_size=8, epoch=0, seed=0,
+                                    shuffle=False, flip_prob=0.0,
+                                    pad_final=True))
+    assert len(plan) == 1
+    idx, _ = plan[0]
+    assert sorted(idx[idx >= 0].tolist()) == [0, 1, 2]
+    assert (idx == -1).sum() == 5
+
+
+def test_device_cache_pad_final_matches_host():
+    import jax
+    from cl_tpu.data.device_cache import DeviceDatasetCache
+
+    ds = SyntheticSegDataset(num_images=6, size=16, task_classes=[1], seed=1)
+    cache = DeviceDatasetCache(ds)
+    kw = dict(batch_size=4, epoch=0, seed=0, shuffle=False, flip_prob=0.0,
+              pad_final=True, ignore_index=255)
+    host = _collect(pipeline.batches(ds, **kw))
+    dev = _collect(cache.batches(**kw))
+    assert len(host) == len(dev) == 2
+    for h, d in zip(host, dev):
+        np.testing.assert_array_equal(h.mask, np.asarray(jax.device_get(d.mask)))
+        np.testing.assert_array_equal(h.image, np.asarray(jax.device_get(d.image)))
