@@ -56,8 +56,10 @@ def generate_example(
     for _ in range(n_shapes):
         cls = int(classes[rng.randint(len(classes))])
         cy, cx = rng.randint(size // 8, size - size // 8, size=2)
-        ry = rng.randint(size // 10, size // 3)
-        rx = rng.randint(size // 10, size // 3)
+        # max(1, ·): tiny test sizes (<10 px) can draw a 0 radius, which
+        # divides by zero in the ellipse equation below.
+        ry = max(1, rng.randint(size // 10, size // 3))
+        rx = max(1, rng.randint(size // 10, size // 3))
         if rng.rand() < 0.5:  # ellipse
             inside = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 <= 1.0
         else:  # rectangle

@@ -84,8 +84,10 @@ def rasterize(seed: int, index: int, size: int, classes,
         cls = classes[rng.randint(0, len(classes))]
         cy = rng.randint(S // 8, S - S // 8)
         cx = rng.randint(S // 8, S - S // 8)
-        ry = rng.randint(S // 10, S // 3)
-        rx = rng.randint(S // 10, S // 3)
+        # max(1, ·): tiny sizes (<10 px) can draw a 0 radius → div-by-zero
+        # degenerate (empty shape); must stay bit-identical to the C++.
+        ry = max(1, rng.randint(S // 10, S // 3))
+        rx = max(1, rng.randint(S // 10, S // 3))
         ellipse = rng.uniform() < 0.5
         color = _class_color(cls)
         jitter = np.array([rng.randint(-20, 21) for _ in range(3)], np.int16)

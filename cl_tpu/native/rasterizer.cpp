@@ -124,8 +124,10 @@ void rasterize_one(int64_t seed, int64_t index, int64_t size,
     const int64_t cls = classes[rng.randint(0, n_classes)];
     const int64_t cy = rng.randint(S / 8, S - S / 8);
     const int64_t cx = rng.randint(S / 8, S - S / 8);
-    const int64_t ry = rng.randint(S / 10, S / 3);
-    const int64_t rx = rng.randint(S / 10, S / 3);
+    // max(1, ·): tiny sizes (<10 px) can draw a 0 radius → division by
+    // zero in the ellipse test (empty shape); mirror of pyref.py.
+    const int64_t ry = std::max<int64_t>(1, rng.randint(S / 10, S / 3));
+    const int64_t rx = std::max<int64_t>(1, rng.randint(S / 10, S / 3));
     const bool ellipse = rng.uniform() < 0.5;
     uint8_t color[3];
     class_color(cls, color);
