@@ -49,7 +49,7 @@ def _ce_kernel(ignore_index, z_ref, lbl_ref, valid_ref, out_ref):
         out_ref[0, 0] = jnp.float32(0.0)
 
     v = valid_ref[:]                                   # [C, 1] 1/0
-    z = jnp.where(v > 0, z_ref[:], NEG_INF)            # [C, BP]
+    z = jnp.where(v > 0, z_ref[:].astype(jnp.float32), NEG_INF)  # [C, BP]
     m = jnp.max(z, axis=0, keepdims=True)              # [1, BP]
     logz = m + jnp.log(jnp.sum(jnp.exp(z - m), axis=0, keepdims=True))
     lbl = lbl_ref[:]                                   # [1, BP] s32
@@ -63,7 +63,7 @@ def _ce_kernel(ignore_index, z_ref, lbl_ref, valid_ref, out_ref):
 def _ce_grad_kernel(ignore_index, z_ref, lbl_ref, valid_ref, scale_ref,
                     out_ref):
     v = valid_ref[:]
-    z = jnp.where(v > 0, z_ref[:], NEG_INF)
+    z = jnp.where(v > 0, z_ref[:].astype(jnp.float32), NEG_INF)
     m = jnp.max(z, axis=0, keepdims=True)
     e = jnp.exp(z - m)
     p = e / jnp.sum(e, axis=0, keepdims=True)
@@ -73,14 +73,17 @@ def _ce_grad_kernel(ignore_index, z_ref, lbl_ref, valid_ref, scale_ref,
     row = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
     onehot = (row == lbl0).astype(jnp.float32)
     g = scale_ref[0, 0] * pix * (p - onehot)
-    out_ref[:] = jnp.where(v > 0, g, 0.0)
+    out_ref[:] = jnp.where(v > 0, g, 0.0).astype(out_ref.dtype)
 
 
 def _prep(logits, labels, valid_classes, ignore_index):
     """[B,H,W,C] → class-major [C, Pp] + label row [1, Pp]; lane padding
-    carries ignore_index labels so padded pixels contribute nothing."""
+    carries ignore_index labels so padded pixels contribute nothing.
+    The logit dtype is PRESERVED (bf16 stays bf16 — half the operand
+    traffic); kernels upcast to f32 in-register, so the arithmetic is
+    identical to feeding pre-upcast logits."""
     C = logits.shape[-1]
-    z = logits.astype(jnp.float32).reshape(-1, C).T    # [C, P]
+    z = logits.reshape(-1, C).T                        # [C, P]
     P = z.shape[1]
     bp = min(BP, common.round_up(P, LANES))
     Pp = common.round_up(P, bp)
@@ -136,7 +139,9 @@ def _ce_bwd(ignore_index, res, g):
     scale = jnp.full((1, 1), g, jnp.float32)
     dz = pl.pallas_call(
         functools.partial(_ce_grad_kernel, ignore_index),
-        out_shape=jax.ShapeDtypeStruct((C, Pp), jnp.float32),
+        # grad buffer in the logit dtype: same values as computing f32
+        # then casting (the f32 math happens in-register either way).
+        out_shape=jax.ShapeDtypeStruct((C, Pp), logits.dtype),
         grid=grid,
         in_specs=[zs, ls, vs,
                   pl.BlockSpec((1, 1), lambda i: (0, 0),

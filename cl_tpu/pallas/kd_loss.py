@@ -46,8 +46,10 @@ def _kd_kernel(ignore_index, new_ref, old_ref, lbl_ref, valid_ref,
 
     v = valid_ref[:]  # [C, 1] f32 1/0
     inv_t = invt_ref[0, 0]
-    new_m = jnp.where(v > 0, new_ref[:] * inv_t, NEG_INF)  # [C, BP]
-    old_m = jnp.where(v > 0, old_ref[:] * inv_t, NEG_INF)
+    new_m = jnp.where(v > 0, new_ref[:].astype(jnp.float32) * inv_t,
+                      NEG_INF)  # [C, BP]
+    old_m = jnp.where(v > 0, old_ref[:].astype(jnp.float32) * inv_t,
+                      NEG_INF)
     ls_new = _log_softmax0(new_m)
     ls_old = _log_softmax0(old_m)
     p_old = jnp.exp(ls_old)
@@ -60,22 +62,26 @@ def _kd_grad_kernel(ignore_index, new_ref, old_ref, lbl_ref, valid_ref,
                     scale_ref, invt_ref, out_ref):
     v = valid_ref[:]
     inv_t = invt_ref[0, 0]
-    new_m = jnp.where(v > 0, new_ref[:] * inv_t, NEG_INF)
-    old_m = jnp.where(v > 0, old_ref[:] * inv_t, NEG_INF)
+    new_m = jnp.where(v > 0, new_ref[:].astype(jnp.float32) * inv_t,
+                      NEG_INF)
+    old_m = jnp.where(v > 0, old_ref[:].astype(jnp.float32) * inv_t,
+                      NEG_INF)
     p_new = jnp.exp(_log_softmax0(new_m))
     p_old = jnp.exp(_log_softmax0(old_m))
     pix = (lbl_ref[:] != ignore_index).astype(jnp.float32)
     g = scale_ref[0, 0] * pix * (p_new - p_old)
-    out_ref[:] = jnp.where(v > 0, g, 0.0)
+    out_ref[:] = jnp.where(v > 0, g, 0.0).astype(out_ref.dtype)
 
 
 def _prep(new_logits, old_logits, old_valid, labels, temperature,
           ignore_index):
     """[B,H,W,C] → class-major [C, Pp] ×2 + label row [1, Pp]; lane
-    padding carries ignore_index labels so padded pixels contribute 0."""
+    padding carries ignore_index labels so padded pixels contribute 0.
+    Logit dtypes are PRESERVED (bf16 stays bf16 — half the operand
+    traffic); kernels upcast to f32 in-register."""
     C = new_logits.shape[-1]
-    new2 = new_logits.astype(jnp.float32).reshape(-1, C).T  # [C, P]
-    old2 = old_logits.astype(jnp.float32).reshape(-1, C).T
+    new2 = new_logits.reshape(-1, C).T                      # [C, P]
+    old2 = old_logits.reshape(-1, C).T
     P = new2.shape[1]
     bp = min(BP, common.round_up(P, LANES))
     Pp = common.round_up(P, bp)
@@ -176,7 +182,8 @@ def _kd_bwd(temperature, ignore_index, res, g):
     smem1 = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     dnew = pl.pallas_call(
         functools.partial(_kd_grad_kernel, ignore_index),
-        out_shape=jax.ShapeDtypeStruct((C, Pp), jnp.float32),
+        # grad buffer in the logit dtype (see ce_loss._ce_bwd).
+        out_shape=jax.ShapeDtypeStruct((C, Pp), new_logits.dtype),
         grid=grid,
         in_specs=[zs, zs, ls, vs, smem1, smem1],
         out_specs=zs,

@@ -203,6 +203,17 @@ def make_train_step(cfg: Config, model: UNet, tx,
         def loss_fn(params):
             logits, new_ms = apply_train(params, state.model_state, x)
             logits = _pad_logits(logits, d.num_classes)
+            old_t = old
+            if (use_pallas_batch or ce_sharded is not None) \
+                    and compute_dtype != jnp.float32:
+                # Feed the loss kernels compute-dtype logits: the model's
+                # f32 logits ARE upcast bf16 conv outputs, so the downcast
+                # is lossless and XLA folds the two casts away — the loss
+                # operands halve without changing a single value (grads
+                # round to bf16 at the same cast boundary either way).
+                logits = logits.astype(compute_dtype)
+                if old_t is not None:
+                    old_t = old_t.astype(compute_dtype)
             if use_pallas_batch:
                 from cl_tpu.pallas import ce_loss as ce_pallas
                 ce, n_pix = ce_pallas.cross_entropy(
@@ -226,10 +237,10 @@ def make_train_step(cfg: Config, model: UNet, tx,
             if use_lwf:
                 if kd_sharded is not None:
                     kd = state.lwf.weight * kd_sharded(
-                        logits, old, state.lwf.old_valid, y)
+                        logits, old_t, state.lwf.old_valid, y)
                 else:
                     kd = lwf_lib.distill_loss(
-                        logits, old, state.lwf, y,
+                        logits, old_t, state.lwf, y,
                         temperature=m.lwf_temperature,
                         use_pallas=use_pallas_batch,
                         ignore_index=d.ignore_index)
