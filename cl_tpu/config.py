@@ -178,7 +178,8 @@ def _preset_baseline_2() -> Config:
     return Config(
         data=DataConfig(dataset="synthetic_native", num_classes=21, image_size=256,
                         source_size=320, batch_size=8,
-                        train_images_per_task=128, val_images_per_task=32),
+                        train_images_per_task=128, val_images_per_task=32,
+                        device_cache=True),
         model=ModelConfig(base_channels=64),
         method=MethodConfig(methods=()),
         train=TrainConfig(num_tasks=1, epochs_per_task=2),
@@ -190,7 +191,8 @@ def _preset_baseline_3() -> Config:
     return Config(
         data=DataConfig(dataset="synthetic_native", num_classes=21, image_size=512,
                         source_size=576, batch_size=8,
-                        train_images_per_task=128, val_images_per_task=32),
+                        train_images_per_task=128, val_images_per_task=32,
+                        device_cache=True),
         model=ModelConfig(base_channels=32),
         method=MethodConfig(methods=("ewc",)),
         train=TrainConfig(num_tasks=2, epochs_per_task=2),
@@ -202,9 +204,11 @@ def _preset_baseline_4() -> Config:
     return Config(
         data=DataConfig(dataset="synthetic_native", num_classes=19, image_size=512,
                         source_size=576, batch_size=8,
-                        train_images_per_task=128, val_images_per_task=32),
+                        train_images_per_task=128, val_images_per_task=32,
+                        device_cache=True),
         model=ModelConfig(base_channels=32),
-        method=MethodConfig(methods=("lwf", "replay")),
+        method=MethodConfig(methods=("lwf", "replay"),
+                            replay_device_resident=True),
         train=TrainConfig(num_tasks=5, epochs_per_task=2),
     )
 

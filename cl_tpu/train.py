@@ -135,7 +135,10 @@ def init_state(cfg: Config, model: UNet, tx) -> TrainState:
 
 
 def make_train_step(cfg: Config, model: UNet, tx,
-                    mesh=None) -> Callable:
+                    mesh=None, as_body: bool = False) -> Callable:
+    """``as_body=True`` returns the UNJITTED step function, for callers
+    that fuse extra device work (plan-driven cache gather) around it and
+    jit the composition themselves."""
     m = cfg.method
     use_ewc = "ewc" in m.methods
     use_lwf = "lwf" in m.methods
@@ -256,6 +259,8 @@ def make_train_step(cfg: Config, model: UNet, tx,
                                   model_state=new_ms, opt_state=new_opt)
         return new_state, aux
 
+    if as_body:
+        return step
     if mesh is not None:
         bspec = sharding.batch_sharding(mesh)
         rspec = sharding.replicated(mesh)
@@ -271,12 +276,54 @@ def make_train_step(cfg: Config, model: UNet, tx,
     return jax.jit(step, donate_argnums=(0,))
 
 
+def make_cached_train_step(cfg: Config, model: UNet, tx, *,
+                           replay_source: str = "none") -> Callable:
+    """ONE-dispatch-per-step training over the HBM dataset cache
+    (data/cached_exec.py): slice row ``s`` of the device-resident epoch
+    plan, gather the batch, widen with replay rows, augment, train.
+    ``replay_source``: "none" | "batch" (empty buffer: duplicate fresh
+    rows) | "buffer" (gather from HBM replay arrays)."""
+    from cl_tpu.data import cached_exec
+
+    body = make_train_step(cfg, model, tx, mesh=None, as_body=True)
+
+    if replay_source == "none":
+        def step(state, s, images, masks, plan_idx, plan_flip, valid):
+            batch = cached_exec.gather_batch(
+                images, masks, (plan_idx, plan_flip), s)
+            new_state, aux = body(state, batch, valid)
+            return new_state, aux, s + 1
+    elif replay_source == "batch":
+        def step(state, s, images, masks, plan_idx, plan_flip, valid,
+                 rep_plan_idx):
+            batch = cached_exec.gather_batch(
+                images, masks, (plan_idx, plan_flip), s)
+            batch = cached_exec.widen_with_replay(
+                batch, "batch", rep_plan_idx, None, s)
+            new_state, aux = body(state, batch, valid)
+            return new_state, aux, s + 1
+    elif replay_source == "buffer":
+        def step(state, s, images, masks, plan_idx, plan_flip, valid,
+                 rep_plan_idx, rep_plan_flip, rep_images, rep_masks):
+            batch = cached_exec.gather_batch(
+                images, masks, (plan_idx, plan_flip), s)
+            batch = cached_exec.widen_with_replay(
+                batch, "buffer", rep_plan_idx, rep_plan_flip, s,
+                rep_images, rep_masks)
+            new_state, aux = body(state, batch, valid)
+            return new_state, aux, s + 1
+    else:
+        raise ValueError(f"unknown replay_source {replay_source!r}")
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
 # ---------------------------------------------------------------------------
 # Eval
 # ---------------------------------------------------------------------------
 
 
-def make_eval_step(cfg: Config, model: UNet, mesh=None) -> Callable:
+def make_eval_step(cfg: Config, model: UNet, mesh=None,
+                   as_body: bool = False) -> Callable:
     d = cfg.data
     compute_dtype = _dtype(cfg)
     use_pallas_aug = (cfg.train.use_pallas and mesh is None
@@ -290,6 +337,8 @@ def make_eval_step(cfg: Config, model: UNet, mesh=None) -> Callable:
         return metrics.confusion_matrix_update(
             conf, logits, y, valid_classes, ignore_index=d.ignore_index)
 
+    if as_body:
+        return step
     if mesh is not None:
         bspec = sharding.batch_sharding(mesh)
         rspec = sharding.replicated(mesh)
@@ -297,6 +346,24 @@ def make_eval_step(cfg: Config, model: UNet, mesh=None) -> Callable:
         return jax.jit(step, in_shardings=(
             rspec, None, None, batch_shardings, rspec))
     return jax.jit(step)
+
+
+def make_cached_eval_step(cfg: Config, model: UNet) -> Callable:
+    """ONE-dispatch-per-step eval over the HBM dataset cache; padded plan
+    rows (val set not batch-divisible) carry an all-ignore mask."""
+    from cl_tpu.data import cached_exec
+
+    body = make_eval_step(cfg, model, as_body=True)
+    ignore = cfg.data.ignore_index
+
+    def step(conf, s, params, model_state, images, masks, plan_idx,
+             plan_pad, valid):
+        batch = cached_exec.gather_batch(
+            images, masks, (plan_idx, jnp.zeros_like(plan_idx, bool),
+                            plan_pad), s, ignore_index=ignore)
+        return body(conf, params, model_state, batch, valid), s + 1
+
+    return jax.jit(step, donate_argnums=(0, 1))
 
 
 def evaluate_task(cfg: Config, eval_step, state: TrainState, task_id: int,
@@ -316,6 +383,11 @@ def evaluate_task(cfg: Config, eval_step, state: TrainState, task_id: int,
             it, depth=cfg.data.prefetch_depth, sharding=bs)
     for batch in batch_it:
         conf = eval_step(conf, state.params, state.model_state, batch, valid)
+    return eval_result(cfg, conf, task_id)
+
+
+def eval_result(cfg: Config, conf, task_id: int) -> dict:
+    """Finish an eval: fetch the confusion matrix, reduce to mIoU."""
     conf_np = np.asarray(jax.device_get(conf))
     task_classes = [task_lib.BACKGROUND] + cfg.classes_per_task[task_id]
     return {
@@ -330,7 +402,8 @@ def evaluate_task(cfg: Config, eval_step, state: TrainState, task_id: int,
 # ---------------------------------------------------------------------------
 
 
-def make_fisher_step(cfg: Config, model: UNet, mesh=None) -> Callable:
+def make_fisher_step(cfg: Config, model: UNet, mesh=None,
+                     as_body: bool = False) -> Callable:
     m = cfg.method
     d = cfg.data
 
@@ -353,6 +426,8 @@ def make_fisher_step(cfg: Config, model: UNet, mesh=None) -> Callable:
             kind=m.ewc_fisher_kind, rng=rng, ignore_index=d.ignore_index)
         return jax.tree.map(lambda a, s: a + s, fisher_acc, sq)
 
+    if as_body:
+        return step
     if mesh is not None:
         bspec = sharding.batch_sharding(mesh)
         rspec = sharding.replicated(mesh)
@@ -360,6 +435,26 @@ def make_fisher_step(cfg: Config, model: UNet, mesh=None) -> Callable:
         return jax.jit(step, in_shardings=(
             None, None, None, batch_shardings, rspec, None))
     return jax.jit(step)
+
+
+def make_cached_fisher_step(cfg: Config, model: UNet) -> Callable:
+    """ONE-dispatch-per-step Fisher accumulation over the HBM dataset
+    cache. Per-batch keys derive as fold_in(rng_base, s) — deterministic;
+    note this differs from the host path's split-chain, so SAMPLED-Fisher
+    draws differ between the two input paths (empirical Fisher, the
+    default, uses no randomness and is identical)."""
+    from cl_tpu.data import cached_exec
+
+    body = make_fisher_step(cfg, model, as_body=True)
+
+    def step(acc, s, params, model_state, images, masks, plan_idx,
+             plan_flip, valid, rng_base):
+        batch = cached_exec.gather_batch(
+            images, masks, (plan_idx, plan_flip), s)
+        rng = jax.random.fold_in(rng_base, s)
+        return body(acc, params, model_state, batch, valid, rng), s + 1
+
+    return jax.jit(step, donate_argnums=(0, 1))
 
 
 def run_fisher_pass(cfg: Config, fisher_step, state: TrainState,
@@ -473,7 +568,13 @@ def train(cfg: Config) -> dict:
     tx = build_optimizer(cfg)
     state = init_state(cfg, model, tx)
 
+    # Fused plan-driven steps for the HBM dataset cache (built lazily;
+    # cleared whenever the model is rebuilt in grow mode). Late-binding
+    # closure: factories read the CURRENT ``model`` at build time.
+    csteps: dict = {}
+
     def _build_steps(model):
+        csteps.clear()
         return (make_train_step(cfg, model, tx, mesh=mesh),
                 make_eval_step(cfg, model, mesh=mesh),
                 make_fisher_step(cfg, model, mesh=mesh)
@@ -481,14 +582,29 @@ def train(cfg: Config) -> dict:
 
     train_step, eval_step, fisher_step = _build_steps(model)
 
+    def _cached_step(kind: str, mode: str = "none"):
+        key = (kind, mode)
+        if key not in csteps:
+            if kind == "train":
+                csteps[key] = make_cached_train_step(
+                    cfg, model, tx, replay_source=mode)
+            elif kind == "eval":
+                csteps[key] = make_cached_eval_step(cfg, model)
+            else:
+                csteps[key] = make_cached_fisher_step(cfg, model)
+        return csteps[key]
+
     splits = cfg.classes_per_task
     T = cfg.train.num_tasks
     use_replay = "replay" in cfg.method.methods
     dev_replay = use_replay and cfg.method.replay_device_resident
     if dev_replay and mesh is not None:
-        raise ValueError(
-            "replay_device_resident requires single-device training "
-            "(the HBM buffer is not sharded); use the host buffer with DP")
+        # DP feeds from hosts (the HBM buffer is unsharded). The host
+        # buffer mirrors the same RandomState stream, so falling back is
+        # result-identical — presets enable HBM residency for their
+        # single-device rungs without breaking the same preset on a mesh.
+        logger.log(event="replay_device_resident_disabled", reason="dp_mesh")
+        dev_replay = False
     if dev_replay:
         from cl_tpu.pallas.replay_gather import DeviceReplayBuffer
         replay = DeviceReplayBuffer(cfg.method.replay_capacity,
@@ -505,10 +621,12 @@ def train(cfg: Config) -> dict:
     # put, which dominates e2e time once the step is fast (DESIGN.md §8).
     dev_cache = cfg.data.device_cache
     if dev_cache and mesh is not None:
-        raise ValueError(
-            "data.device_cache requires single-device training (the cache "
-            "is not sharded); DP feeds from hosts")
+        # Same fallback rationale as the replay buffer above; the host
+        # pipeline delivers a bit-identical stream (shared epoch_plan).
+        logger.log(event="device_cache_disabled", reason="dp_mesh")
+        dev_cache = False
     caches: dict = {}
+    rep_arrays: dict = {}  # per-task device copy of the replay arrays
 
     def _train_cache(task_id: int):
         if task_id not in caches:
@@ -563,42 +681,71 @@ def train(cfg: Config) -> dict:
                          and epoch == min(1, cfg.train.epochs_per_task - 1))
             if profiling:
                 jax.profiler.start_trace(cfg.train.profile_dir)
-            if dev_cache:
-                src = _train_cache(task_id).batches(
-                    batch_size=cfg.data.batch_size, epoch=epoch,
-                    seed=cfg.data.shuffle_seed + 1000 * task_id,
-                    shuffle=True, flip_prob=cfg.data.flip_prob)
-            else:
-                src = pipeline.train_batches(cfg, task_id, epoch)
-            if use_replay and not dev_replay:
-                # Same plumbing either way; only the concat site differs —
-                # on device for cached batches, on host (pre-transfer,
-                # one put of the widened batch) for the host pipeline.
-                if dev_cache:
-                    from cl_tpu.data.device_cache import device_mix as _mix
-                else:
-                    _mix = pipeline.replay_mix
-                k = cfg.method.replay_batch
-
-                def mixed(it=src, mix=_mix):
-                    for b in it:
-                        yield mix(b, replay.sample_or_current(
-                            k, b, flip_prob=cfg.data.flip_prob))
-                src = mixed()
-            batch_it = src if dev_cache else pipeline.prefetch_to_device(
-                src, depth=cfg.data.prefetch_depth, sharding=bs)
             # Loss values stay on device during the epoch — fetching them
             # per step would sync the pipeline and stall the double buffer.
             losses_dev, n_steps = [], 0
-            t_ep = time.perf_counter()
-            for batch in batch_it:
-                if dev_replay:
-                    batch = _device_replay_mix(
-                        replay, batch, cfg.method.replay_batch,
+            if dev_cache:
+                # Plan-driven fused execution (data/cached_exec.py): the
+                # epoch's (idx, flip) plan uploads once, then every step
+                # is ONE dispatch with zero host→device traffic.
+                from cl_tpu.data import cached_exec
+                cache = _train_cache(task_id)
+                plan = cached_exec.build_plan(
+                    cache.n, batch_size=cfg.data.batch_size, epoch=epoch,
+                    seed=cfg.data.shuffle_seed + 1000 * task_id,
+                    shuffle=True, flip_prob=cfg.data.flip_prob)
+                rep_args, mode = (), "none"
+                if use_replay:
+                    mode, r_idx, r_flip = cached_exec.build_replay_plan(
+                        replay, steps=plan.steps,
+                        k=cfg.method.replay_batch,
+                        batch_size=cfg.data.batch_size,
                         flip_prob=cfg.data.flip_prob)
-                state, aux = train_step(state, batch, valid_dev)
-                losses_dev.append(aux["loss"])
-                n_steps += 1
+                    if mode == "buffer":
+                        if task_id not in rep_arrays:
+                            rep_arrays.clear()  # previous task's upload
+                            rep_arrays[task_id] = \
+                                cached_exec.replay_arrays(replay)
+                        r_imgs, r_msks = rep_arrays[task_id]
+                        rep_args = (r_idx, r_flip, r_imgs, r_msks)
+                    else:
+                        rep_args = (r_idx,)
+                # First use of a (kind, mode) program compiles on its
+                # first call — that epoch is excluded from steady-state
+                # timing below (the replay path switches "batch"→"buffer"
+                # at task 1, which is a second compile).
+                first_program_use = ("train", mode) not in csteps
+                cstep = _cached_step("train", mode)
+                s = jnp.int32(0)
+                t_ep = time.perf_counter()
+                for _ in range(plan.steps):
+                    state, aux, s = cstep(
+                        state, s, cache.images, cache.masks, plan.idx,
+                        plan.flip, valid_dev, *rep_args)
+                    losses_dev.append(aux["loss"])
+                    n_steps += 1
+            else:
+                src = pipeline.train_batches(cfg, task_id, epoch)
+                if use_replay and not dev_replay:
+                    k = cfg.method.replay_batch
+
+                    def mixed(it=src):
+                        for b in it:
+                            yield pipeline.replay_mix(
+                                b, replay.sample_or_current(
+                                    k, b, flip_prob=cfg.data.flip_prob))
+                    src = mixed()
+                batch_it = pipeline.prefetch_to_device(
+                    src, depth=cfg.data.prefetch_depth, sharding=bs)
+                t_ep = time.perf_counter()
+                for batch in batch_it:
+                    if dev_replay:
+                        batch = _device_replay_mix(
+                            replay, batch, cfg.method.replay_batch,
+                            flip_prob=cfg.data.flip_prob)
+                    state, aux = train_step(state, batch, valid_dev)
+                    losses_dev.append(aux["loss"])
+                    n_steps += 1
             # device_get of the losses is the epoch sync (per-step syncs
             # would stall the double buffer; block_until_ready is
             # unreliable through the device relay).
@@ -607,7 +754,8 @@ def train(cfg: Config) -> dict:
             ep_time = time.perf_counter() - t_ep
             # Steady state only: the run's first epoch carries the jit
             # compile; in grow mode every task's first epoch recompiles.
-            compiling = epoch == 0 and (task_id == start_task or grow)
+            compiling = (epoch == 0 and (task_id == start_task or grow)
+                         or (dev_cache and first_program_use))
             if not compiling:
                 step_times.append((ep_time, n_steps))
             if profiling:
@@ -618,35 +766,57 @@ def train(cfg: Config) -> dict:
 
         # ---- eval over all seen tasks (SURVEY.md §3.1) ----
         for k in range(task_id + 1):
-            val_it = None
             if dev_cache:
+                from cl_tpu.data import cached_exec
                 if ("val", k) not in caches:
                     from cl_tpu.data.device_cache import DeviceDatasetCache
                     _, val_ds = pipeline.make_datasets(cfg, k)
                     caches[("val", k)] = DeviceDatasetCache(val_ds)
-                val_it = caches[("val", k)].batches(
-                    batch_size=cfg.data.batch_size, epoch=0,
-                    seed=cfg.data.shuffle_seed + 1000 * k,
-                    shuffle=False, flip_prob=0.0, pad_final=True,
-                    ignore_index=cfg.data.ignore_index)
-            res = evaluate_task(cfg, eval_step, state, k, seen_valid,
-                                mesh=mesh, batch_it=val_it)
+                vcache = caches[("val", k)]
+                vplan = cached_exec.build_plan(
+                    vcache.n, batch_size=cfg.data.batch_size, epoch=0,
+                    seed=cfg.data.shuffle_seed + 1000 * k, shuffle=False,
+                    flip_prob=0.0, pad_final=True)
+                ev = _cached_step("eval")
+                C = cfg.data.num_classes
+                conf = jnp.zeros((C, C), jnp.float32)
+                s = jnp.int32(0)
+                for _ in range(vplan.steps):
+                    conf, s = ev(conf, s, state.params, state.model_state,
+                                 vcache.images, vcache.masks, vplan.idx,
+                                 vplan.pad, valid_dev)
+                res = eval_result(cfg, conf, k)
+            else:
+                res = evaluate_task(cfg, eval_step, state, k, seen_valid,
+                                    mesh=mesh)
             miou_matrix[task_id, k] = res["miou"]
             logger.log(event="eval", after_task=task_id, task=k,
                        miou=res["miou"])
 
         # ---- after-task hooks (SURVEY.md §3.1) ----
         if fisher_step is not None and task_id < T - 1:
-            fisher_it = None
             if dev_cache:
-                fisher_it = _train_cache(task_id).batches(
-                    batch_size=cfg.data.batch_size,
+                from cl_tpu.data import cached_exec
+                cache = _train_cache(task_id)
+                fplan = cached_exec.build_plan(
+                    cache.n, batch_size=cfg.data.batch_size,
                     epoch=10_000 + task_id,
                     seed=cfg.data.shuffle_seed + 1000 * task_id,
                     shuffle=True, flip_prob=cfg.data.flip_prob)
-            fisher_new = run_fisher_pass(cfg, fisher_step, state, task_id,
-                                         seen_valid, mesh=mesh,
-                                         batch_it=fisher_it)
+                nf = min(fplan.steps, cfg.method.ewc_fisher_batches)
+                acc = jax.tree.map(
+                    lambda p: jnp.zeros_like(p, jnp.float32), state.params)
+                rng_base = jax.random.fold_in(state.rng, 1000 + task_id)
+                fs = _cached_step("fisher")
+                s = jnp.int32(0)
+                for _ in range(nf):
+                    acc, s = fs(acc, s, state.params, state.model_state,
+                                cache.images, cache.masks, fplan.idx,
+                                fplan.flip, valid_dev, rng_base)
+                fisher_new = jax.tree.map(lambda a: a / max(nf, 1), acc)
+            else:
+                fisher_new = run_fisher_pass(cfg, fisher_step, state,
+                                             task_id, seen_valid, mesh=mesh)
             state = state.replace(ewc=ewc_lib.ewc_after_task(
                 state.ewc, state.params, fisher_new,
                 mode=cfg.method.ewc_mode, gamma=cfg.method.ewc_gamma,

@@ -44,11 +44,31 @@ def test_cached_run_reports_identical_results():
                                   np.asarray(base["miou_matrix"]))
 
 
-def test_device_cache_rejected_under_mesh(eight_devices):
-    import pytest
-
+def test_device_cache_falls_back_under_mesh(eight_devices):
+    # The cache is unsharded; under DP it must fall back to the (bit-
+    # identical) host pipeline instead of failing — presets enable the
+    # cache for single-device rungs and must still run on a mesh.
     from cl_tpu.train import train
 
-    with pytest.raises(ValueError, match="device_cache"):
-        train(_cfg(["data.device_cache=true", "train.data_parallel=true",
-                    "data.batch_size=8"]))
+    # replay_batch=4 -> widened batch 12 not divisible by 8: run without
+    # replay so the fallback itself is what's under test.
+    res = train(_cfg(["data.device_cache=true", "train.data_parallel=true",
+                      "data.batch_size=8", "method.methods=ewc",
+                      "method.replay_device_resident=true"]))
+    assert np.isfinite(res["mean_final_miou"])
+
+
+def test_cached_all_methods_run_identical_with_padded_eval():
+    # The fused plan-driven path (EWC+LwF+replay, HBM replay buffer) must
+    # reproduce the host pipeline bit-for-bit, including a val set that
+    # does not divide the batch (padded eval rows).
+    from cl_tpu.train import train
+
+    ov = ["data.num_classes=5", "train.num_tasks=2",
+          "method.methods=ewc,lwf,replay", "data.batch_size=4",
+          "method.replay_batch=2", "data.train_images_per_task=8",
+          "data.val_images_per_task=6"]
+    base = train(_cfg(ov))
+    cached = train(_cfg(ov + ["data.device_cache=true",
+                              "method.replay_device_resident=true"]))
+    assert cached["final_per_task_miou"] == base["final_per_task_miou"]
