@@ -136,3 +136,24 @@ def test_device_resident_replay_run(tmp_path):
                  ["method.replay_device_resident=true"])
     report = train(parse_overrides(args))
     assert np.isfinite(report["final_per_task_miou"]).all()
+
+
+@pytest.mark.slow
+def test_resume_with_device_cache_matches_host_path(tmp_path):
+    """Resume must reproduce the uninterrupted trajectory through the
+    plan-driven cache path too — and the cached uninterrupted run equals
+    the host-pipeline uninterrupted run (bit-identical streams)."""
+    cached = ["data.device_cache=true", "method.replay_device_resident=true"]
+    base = str(tmp_path / "ckpt")
+    host_full = train(parse_overrides(_args(base + "_h")))
+    cache_full = train(parse_overrides(_args(base + "_c", cached)))
+    np.testing.assert_allclose(cache_full["final_per_task_miou"],
+                               host_full["final_per_task_miou"], atol=1e-12)
+
+    with pytest.raises(RuntimeError, match="fault injection"):
+        train(parse_overrides(_args(base, cached
+                                    + ["train.fail_after_task=0"])))
+    resumed = train(parse_overrides(_args(base, cached
+                                          + ["train.resume=true"])))
+    np.testing.assert_allclose(resumed["final_per_task_miou"],
+                               cache_full["final_per_task_miou"], atol=1e-12)
