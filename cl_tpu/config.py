@@ -129,7 +129,12 @@ class Config:
     _HASH_EXCLUDE = {
         "train": ("checkpoint_dir", "resume", "log_path", "profile_dir",
                   "tensorboard_dir", "fail_after_task", "multihost"),
+        # Both input-residency options are result-identical to the host
+        # pipeline (same seeded streams; tested exactly), so toggling them
+        # across a resume — e.g. a DP checkpoint restored single-device —
+        # is operational, not a trajectory change.
         "data": ("device_cache",),
+        "method": ("replay_device_resident",),
     }
 
     def config_hash(self) -> str:

@@ -52,8 +52,13 @@ def build_plan(n: int, *, batch_size: int, epoch: int, seed: int,
     rows = list(pipeline.epoch_plan(
         n, batch_size=batch_size, epoch=epoch, seed=seed, shuffle=shuffle,
         flip_prob=flip_prob, pad_final=pad_final))
-    idx = np.stack([i for i, _ in rows])
-    flip = np.stack([f for _, f in rows])
+    if not rows:  # dataset smaller than the batch: zero-step epoch,
+        #           same as the host pipeline's behavior
+        idx = np.zeros((0, batch_size), np.int64)
+        flip = np.zeros((0, batch_size), bool)
+    else:
+        idx = np.stack([i for i, _ in rows])
+        flip = np.stack([f for _, f in rows])
     pad = idx < 0
     return EpochPlan(
         idx=jnp.asarray(np.where(pad, 0, idx).astype(np.int32)),

@@ -73,14 +73,3 @@ class DeviceDatasetCache:
             )
 
 
-def device_mix(batch: "pipeline.HostBatch",
-               replay: "pipeline.HostBatch | None") -> "pipeline.HostBatch":
-    """replay_mix for device-resident batches: the (host) replay sub-batch
-    rides one small H2D, concatenation happens on device."""
-    if replay is None:
-        return batch
-    return pipeline.HostBatch(
-        image=jnp.concatenate([batch.image, jnp.asarray(replay.image)]),
-        mask=jnp.concatenate([batch.mask, jnp.asarray(replay.mask)]),
-        flip=jnp.concatenate([batch.flip, jnp.asarray(replay.flip)]),
-    )

@@ -91,12 +91,22 @@ class ReplayBuffer:
         }
 
     def load_state_dict(self, sd: dict) -> None:
+        """Accepts either buffer's checkpoint format: the HBM
+        ``DeviceReplayBuffer`` writes capacity-sized arrays with a
+        ``count`` of valid rows and no per-item ``task_ids`` (fill −1);
+        both buffers share the same RandomState stream, so a
+        cross-topology resume stays deterministic."""
+        import numpy as np
+
         self.capacity = int(sd["capacity"])
-        imgs, masks = sd["images"], sd["masks"]
-        self.images = [imgs[i] for i in range(imgs.shape[0])] \
-            if imgs.ndim > 1 else []
-        self.masks = [masks[i] for i in range(masks.shape[0])] \
-            if masks.ndim > 1 else []
-        self.task_ids = [int(t) for t in sd["task_ids"]]
+        imgs, masks = np.asarray(sd["images"]), np.asarray(sd["masks"])
+        n = imgs.shape[0] if imgs.ndim > 1 else 0
+        if "count" in sd:  # device-format: only the first `count` rows live
+            n = int(sd["count"])
+        self.images = [imgs[i] for i in range(n)]
+        self.masks = [masks[i] for i in range(n)]
+        tids = sd.get("task_ids")
+        self.task_ids = [int(t) for t in tids] if tids is not None \
+            else [-1] * n
         self._seen = int(sd["seen"])
         self.rng.set_state(sd["rng_state"])

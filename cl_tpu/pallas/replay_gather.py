@@ -169,9 +169,27 @@ class DeviceReplayBuffer:
         }
 
     def load_state_dict(self, sd: dict) -> None:
+        """Accepts either buffer's checkpoint format: the host
+        ``ReplayBuffer`` writes n stacked rows and no ``count``; pad those
+        to capacity (both buffers share the same RandomState stream, so a
+        cross-topology resume — e.g. a DP run's checkpoint restored on a
+        single device — stays deterministic)."""
+        import numpy as np
+
         self.capacity = int(sd["capacity"])
-        self.images = jnp.asarray(sd["images"])
-        self.masks = jnp.asarray(sd["masks"])
-        self.count = int(sd["count"])
+        imgs, masks = np.asarray(sd["images"]), np.asarray(sd["masks"])
+        if "count" in sd:
+            self.count = int(sd["count"])
+        else:  # host-format: n stored rows, capacity-pad
+            self.count = imgs.shape[0] if imgs.ndim > 1 else 0
+            S = self.images.shape[1]
+            pad_i = np.zeros((self.capacity, S, S, 3), np.uint8)
+            pad_m = np.full((self.capacity, S, S), 255, np.uint8)
+            if self.count:
+                pad_i[:self.count] = imgs
+                pad_m[:self.count] = masks
+            imgs, masks = pad_i, pad_m
+        self.images = jnp.asarray(imgs)
+        self.masks = jnp.asarray(masks)
         self._seen = int(sd["seen"])
         self.rng.set_state(sd["rng_state"])

@@ -367,20 +367,18 @@ def make_cached_eval_step(cfg: Config, model: UNet) -> Callable:
 
 
 def evaluate_task(cfg: Config, eval_step, state: TrainState, task_id: int,
-                  seen_valid: np.ndarray, mesh=None,
-                  batch_it=None) -> dict:
-    """mIoU of ``task_id``'s val set, predicting among all seen classes
-    (standard class-incremental eval; mirrored by the torch oracle).
-    ``batch_it`` overrides the host pipeline with an already-device-
-    resident stream (the HBM dataset cache)."""
+                  seen_valid: np.ndarray, mesh=None) -> dict:
+    """mIoU of ``task_id``'s val set via the host pipeline, predicting
+    among all seen classes (standard class-incremental eval; mirrored by
+    the torch oracle). The HBM-cache path evaluates through
+    ``make_cached_eval_step`` inside ``train()`` instead."""
     C = cfg.data.num_classes
     conf = jnp.zeros((C, C), jnp.float32)
     valid = jnp.asarray(seen_valid)
-    if batch_it is None:
-        it = pipeline.val_batches(cfg, task_id)
-        bs = sharding.batch_sharding(mesh) if mesh is not None else None
-        batch_it = pipeline.prefetch_to_device(
-            it, depth=cfg.data.prefetch_depth, sharding=bs)
+    it = pipeline.val_batches(cfg, task_id)
+    bs = sharding.batch_sharding(mesh) if mesh is not None else None
+    batch_it = pipeline.prefetch_to_device(
+        it, depth=cfg.data.prefetch_depth, sharding=bs)
     for batch in batch_it:
         conf = eval_step(conf, state.params, state.model_state, batch, valid)
     return eval_result(cfg, conf, task_id)
@@ -458,18 +456,18 @@ def make_cached_fisher_step(cfg: Config, model: UNet) -> Callable:
 
 
 def run_fisher_pass(cfg: Config, fisher_step, state: TrainState,
-                    task_id: int, seen_valid: np.ndarray, mesh=None,
-                    batch_it=None):
-    """Average squared grads over up to ``ewc_fisher_batches`` batches."""
+                    task_id: int, seen_valid: np.ndarray, mesh=None):
+    """Average squared grads over up to ``ewc_fisher_batches`` batches via
+    the host pipeline. The HBM-cache path accumulates through
+    ``make_cached_fisher_step`` inside ``train()`` instead."""
     acc = jax.tree.map(lambda p: jnp.zeros_like(p, jnp.float32), state.params)
     valid = jnp.asarray(seen_valid)
     rng = jax.random.fold_in(state.rng, 1000 + task_id)
     n = 0
-    if batch_it is None:
-        bs = sharding.batch_sharding(mesh) if mesh is not None else None
-        it = pipeline.train_batches(cfg, task_id, epoch=10_000 + task_id)
-        batch_it = pipeline.prefetch_to_device(
-            it, depth=cfg.data.prefetch_depth, sharding=bs)
+    bs = sharding.batch_sharding(mesh) if mesh is not None else None
+    it = pipeline.train_batches(cfg, task_id, epoch=10_000 + task_id)
+    batch_it = pipeline.prefetch_to_device(
+        it, depth=cfg.data.prefetch_depth, sharding=bs)
     try:
         for batch in batch_it:
             if n >= cfg.method.ewc_fisher_batches:
@@ -480,10 +478,8 @@ def run_fisher_pass(cfg: Config, fisher_step, state: TrainState,
             n += 1
     finally:
         # The pass usually stops early; close the generator so it drops
-        # its references (the HBM dataset cache, prefetch threads) NOW
-        # rather than at some later rebind/GC.
-        if hasattr(batch_it, "close"):
-            batch_it.close()
+        # its prefetch threads NOW rather than at some later rebind/GC.
+        batch_it.close()
     n = max(n, 1)
     return jax.tree.map(lambda a: a / n, acc)
 

@@ -157,3 +157,43 @@ def test_resume_with_device_cache_matches_host_path(tmp_path):
                                           + ["train.resume=true"])))
     np.testing.assert_allclose(resumed["final_per_task_miou"],
                                cache_full["final_per_task_miou"], atol=1e-12)
+
+
+def test_cross_buffer_type_resume(tmp_path):
+    """A checkpoint written with one replay-buffer residency must restore
+    into the other (the DP fallback silently switches buffer types, so
+    cross-topology resumes are a supported workflow). Both buffers share
+    one RandomState stream, so the resumed trajectory is unchanged."""
+    base = str(tmp_path / "ckpt")
+    # host-buffer checkpoint -> resume with the HBM buffer
+    with pytest.raises(RuntimeError, match="fault injection"):
+        train(parse_overrides(_args(base, ["train.fail_after_task=0"])))
+    resumed_dev = train(parse_overrides(_args(
+        base, ["train.resume=true", "method.replay_device_resident=true",
+               "data.device_cache=true"])))
+    full = train(parse_overrides(_args(base + "_full")))
+    np.testing.assert_allclose(resumed_dev["final_per_task_miou"],
+                               full["final_per_task_miou"], atol=1e-12)
+
+    # HBM-buffer checkpoint -> resume with the host buffer
+    base2 = str(tmp_path / "ckpt2")
+    with pytest.raises(RuntimeError, match="fault injection"):
+        train(parse_overrides(_args(
+            base2, ["train.fail_after_task=0", "data.device_cache=true",
+                    "method.replay_device_resident=true"])))
+    resumed_host = train(parse_overrides(_args(base2, ["train.resume=true"])))
+    np.testing.assert_allclose(resumed_host["final_per_task_miou"],
+                               full["final_per_task_miou"], atol=1e-12)
+
+
+def test_device_cache_smaller_than_batch_runs():
+    # Zero full train batches (dataset < batch): the plan-driven path must
+    # behave like the host pipeline (zero-step epochs, padded eval only).
+    from cl_tpu.train import train as train_fn
+
+    res = train_fn(parse_overrides(
+        ["preset=smoke", "data.num_classes=2", "train.num_tasks=1",
+         "data.train_images_per_task=4", "data.batch_size=8",
+         "data.val_images_per_task=4", "data.device_cache=true",
+         "method.methods=ewc", "train.data_parallel=false"]))
+    assert np.isfinite(res["mean_final_miou"])
