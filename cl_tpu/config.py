@@ -95,6 +95,10 @@ class TrainConfig:
     tensorboard_dir: str = ""  # optional TB scalar mirror; empty = off
     profile_dir: str = ""  # jax.profiler trace output; empty = off
     fail_after_task: int = -1  # test-only fault injection (SURVEY.md §5.3)
+    # Reference-style per-epoch prints (SURVEY.md §2.1 "Logging"): also
+    # evaluate the CURRENT task's val set after every epoch and log its
+    # mIoU. Off by default — it adds one eval pass per epoch.
+    eval_every_epoch: bool = False
     data_parallel: bool = True  # shard batch over all visible devices
     multihost: bool = False  # jax.distributed.initialize() for multi-host
     #                          slices (one process per host; SURVEY.md §2.4)
@@ -128,7 +132,8 @@ class Config:
     # flipping them mid-run is a (tiny) trajectory change.
     _HASH_EXCLUDE = {
         "train": ("checkpoint_dir", "resume", "log_path", "profile_dir",
-                  "tensorboard_dir", "fail_after_task", "multihost"),
+                  "tensorboard_dir", "fail_after_task", "multihost",
+                  "eval_every_epoch"),
         # Both input-residency options are result-identical to the host
         # pipeline (same seeded streams; tested exactly), so toggling them
         # across a resume — e.g. a DP checkpoint restored single-device —

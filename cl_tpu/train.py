@@ -662,6 +662,32 @@ def train(cfg: Config) -> dict:
         valid_dev = jnp.asarray(seen_valid)
         t_task = time.perf_counter()
 
+        def _eval_task(k, seen_valid=seen_valid, valid_dev=valid_dev):
+            """Task k's val mIoU among currently-seen classes — through
+            the plan-driven cache or the host pipeline."""
+            if not dev_cache:
+                return evaluate_task(cfg, eval_step, state, k, seen_valid,
+                                     mesh=mesh)
+            from cl_tpu.data import cached_exec
+            if ("val", k) not in caches:
+                from cl_tpu.data.device_cache import DeviceDatasetCache
+                _, val_ds = pipeline.make_datasets(cfg, k)
+                caches[("val", k)] = DeviceDatasetCache(val_ds)
+            vcache = caches[("val", k)]
+            vplan = cached_exec.build_plan(
+                vcache.n, batch_size=cfg.data.batch_size, epoch=0,
+                seed=cfg.data.shuffle_seed + 1000 * k, shuffle=False,
+                flip_prob=0.0, pad_final=True)
+            ev = _cached_step("eval")
+            C = cfg.data.num_classes
+            conf = jnp.zeros((C, C), jnp.float32)
+            s = jnp.int32(0)
+            for _ in range(vplan.steps):
+                conf, s = ev(conf, s, state.params, state.model_state,
+                             vcache.images, vcache.masks, vplan.idx,
+                             vplan.pad, valid_dev)
+            return eval_result(cfg, conf, k)
+
         if grow:
             w = task_head_width(cfg, task_id)
             if state.params["head"]["kernel"].shape[-1] < w:
@@ -759,32 +785,16 @@ def train(cfg: Config) -> dict:
                 logger.log(event="profile", dir=cfg.train.profile_dir)
             logger.log(event="epoch", task=task_id, epoch=epoch,
                        loss=ep_loss, steps=n_steps)
+            if cfg.train.eval_every_epoch:
+                # Reference-style per-epoch print (SURVEY.md §2.1
+                # "Logging": loss/mIoU per epoch).
+                r = _eval_task(task_id)
+                logger.log(event="epoch_eval", task=task_id, epoch=epoch,
+                           miou=r["miou"])
 
         # ---- eval over all seen tasks (SURVEY.md §3.1) ----
         for k in range(task_id + 1):
-            if dev_cache:
-                from cl_tpu.data import cached_exec
-                if ("val", k) not in caches:
-                    from cl_tpu.data.device_cache import DeviceDatasetCache
-                    _, val_ds = pipeline.make_datasets(cfg, k)
-                    caches[("val", k)] = DeviceDatasetCache(val_ds)
-                vcache = caches[("val", k)]
-                vplan = cached_exec.build_plan(
-                    vcache.n, batch_size=cfg.data.batch_size, epoch=0,
-                    seed=cfg.data.shuffle_seed + 1000 * k, shuffle=False,
-                    flip_prob=0.0, pad_final=True)
-                ev = _cached_step("eval")
-                C = cfg.data.num_classes
-                conf = jnp.zeros((C, C), jnp.float32)
-                s = jnp.int32(0)
-                for _ in range(vplan.steps):
-                    conf, s = ev(conf, s, state.params, state.model_state,
-                                 vcache.images, vcache.masks, vplan.idx,
-                                 vplan.pad, valid_dev)
-                res = eval_result(cfg, conf, k)
-            else:
-                res = evaluate_task(cfg, eval_step, state, k, seen_valid,
-                                    mesh=mesh)
+            res = _eval_task(k)
             miou_matrix[task_id, k] = res["miou"]
             logger.log(event="eval", after_task=task_id, task=k,
                        miou=res["miou"])

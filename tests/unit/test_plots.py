@@ -55,3 +55,20 @@ def test_plot_cli_subcommand(tmp_path):
     assert rc == 0
     out = tmp_path / "plots"
     assert (out / "miou_heatmap.png").exists()
+
+
+def test_eval_every_epoch_logs_miou(tmp_path):
+    import json
+
+    from cl_tpu.config import parse_overrides
+    from cl_tpu.train import train
+
+    log = str(tmp_path / "run.jsonl")
+    train(parse_overrides([
+        "preset=smoke", "train.eval_every_epoch=true",
+        "train.epochs_per_task=2", "train.data_parallel=false",
+        f"train.log_path={log}"]))
+    events = [json.loads(l) for l in open(log)]
+    per_epoch = [e for e in events if e["event"] == "epoch_eval"]
+    assert len(per_epoch) == 2
+    assert all("miou" in e for e in per_epoch)
