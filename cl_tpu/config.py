@@ -100,6 +100,12 @@ class TrainConfig:
     # mIoU. Off by default — it adds one eval pass per epoch.
     eval_every_epoch: bool = False
     data_parallel: bool = True  # shard batch over all visible devices
+    # Spatial parallelism (SURVEY.md §5.7 — the >HBM-resolution path):
+    # shard the image HEIGHT over all visible devices with ppermute halo
+    # exchange for the 3x3 convs and psum'd GroupNorm stats
+    # (cl_tpu/parallel/spatial.py). Takes precedence over data_parallel;
+    # requires model.norm="group" and H divisible by n_devices * 2^depth.
+    spatial_parallel: bool = False
     multihost: bool = False  # jax.distributed.initialize() for multi-host
     #                          slices (one process per host; SURVEY.md §2.4)
     use_pallas: bool = True  # fused kernels; False = pure-jnp fallbacks

@@ -134,15 +134,34 @@ def init_state(cfg: Config, model: UNet, tx) -> TrainState:
 # ---------------------------------------------------------------------------
 
 
+def spatial_apply_fn(cfg: Config, spatial_mesh) -> Callable:
+    """``model.apply``-compatible wrapper around the height-sharded UNet
+    forward (cl_tpu/parallel/spatial.py): same params pytree, same math,
+    halo exchange + psum'd GroupNorm inside shard_map."""
+    from cl_tpu.parallel import spatial as spatial_lib
+
+    depth = cfg.model.depth
+
+    def apply(variables, x, train=False, mutable=None):
+        out = spatial_lib.spatial_apply(variables["params"], x,
+                                        spatial_mesh, depth=depth)
+        return (out, {}) if mutable else out
+
+    return apply
+
+
 def make_train_step(cfg: Config, model: UNet, tx,
-                    mesh=None, as_body: bool = False) -> Callable:
+                    mesh=None, as_body: bool = False,
+                    spatial_mesh=None) -> Callable:
     """``as_body=True`` returns the UNJITTED step function, for callers
     that fuse extra device work (plan-driven cache gather) around it and
-    jit the composition themselves."""
+    jit the composition themselves. ``spatial_mesh`` switches the forward
+    to the height-sharded UNet (train.spatial_parallel); losses then use
+    the jnp paths, which partition over the sharded H dim under SPMD."""
     m = cfg.method
     use_ewc = "ewc" in m.methods
     use_lwf = "lwf" in m.methods
-    use_pallas = cfg.train.use_pallas
+    use_pallas = cfg.train.use_pallas and spatial_mesh is None
     # Batch-dim kernels under a mesh: a bare pallas_call has no SPMD
     # partitioning rule, so the partitioner would all-gather the sharded
     # batch around it. CE/KD therefore run through shard_map when a mesh
@@ -185,14 +204,17 @@ def make_train_step(cfg: Config, model: UNet, tx,
     compute_dtype = _dtype(cfg)
     d = cfg.data
 
+    fwd_apply = model.apply if spatial_mesh is None \
+        else spatial_apply_fn(cfg, spatial_mesh)
+
     def apply_train(params, model_state, x):
         mutable = list(model_state.keys())
         if mutable:
-            logits, new_ms = model.apply(
+            logits, new_ms = fwd_apply(
                 {"params": params, **model_state}, x, train=True,
                 mutable=mutable)
             return logits, new_ms
-        return model.apply({"params": params}, x, train=True), {}
+        return fwd_apply({"params": params}, x, train=True), {}
 
     def step(state: TrainState, batch: pipeline.HostBatch,
              valid_classes: jax.Array):
@@ -200,7 +222,7 @@ def make_train_step(cfg: Config, model: UNet, tx,
 
         old = None
         if use_lwf:
-            old = _pad_logits(lwf_lib.old_logits(model.apply, state.lwf, x),
+            old = _pad_logits(lwf_lib.old_logits(fwd_apply, state.lwf, x),
                               d.num_classes)
 
         def loss_fn(params):
@@ -323,16 +345,18 @@ def make_cached_train_step(cfg: Config, model: UNet, tx, *,
 
 
 def make_eval_step(cfg: Config, model: UNet, mesh=None,
-                   as_body: bool = False) -> Callable:
+                   as_body: bool = False, spatial_mesh=None) -> Callable:
     d = cfg.data
     compute_dtype = _dtype(cfg)
     use_pallas_aug = (cfg.train.use_pallas and mesh is None
-                      and cfg.train.pallas_augment)
+                      and spatial_mesh is None and cfg.train.pallas_augment)
+    fwd_apply = model.apply if spatial_mesh is None \
+        else spatial_apply_fn(cfg, spatial_mesh)
 
     def step(conf, params, model_state, batch, valid_classes):
         x, y = _augment(batch, d, compute_dtype, use_pallas_aug)
         logits = _pad_logits(
-            model.apply({"params": params, **model_state}, x, train=False),
+            fwd_apply({"params": params, **model_state}, x, train=False),
             d.num_classes)
         return metrics.confusion_matrix_update(
             conf, logits, y, valid_classes, ignore_index=d.ignore_index)
@@ -401,11 +425,13 @@ def eval_result(cfg: Config, conf, task_id: int) -> dict:
 
 
 def make_fisher_step(cfg: Config, model: UNet, mesh=None,
-                     as_body: bool = False) -> Callable:
+                     as_body: bool = False, spatial_mesh=None) -> Callable:
     m = cfg.method
     d = cfg.data
 
-    use_pallas = cfg.train.use_pallas
+    use_pallas = cfg.train.use_pallas and spatial_mesh is None
+    fwd_apply = model.apply if spatial_mesh is None \
+        else spatial_apply_fn(cfg, spatial_mesh)
 
     def step(fisher_acc, params, model_state, batch, valid_classes, rng):
         x, y = _augment(batch, d, _dtype(cfg),
@@ -414,13 +440,13 @@ def make_fisher_step(cfg: Config, model: UNet, mesh=None,
         if use_pallas:
             from cl_tpu.pallas import ewc_fused
             grads = ewc_lib.fisher_batch_grads(
-                model.apply, params, model_state, x, y, valid_classes,
+                fwd_apply, params, model_state, x, y, valid_classes,
                 kind=m.ewc_fisher_kind, rng=rng,
                 ignore_index=d.ignore_index, square=False)
             # fused acc += g² (SURVEY.md §2.2 "ewc_fused")
             return ewc_fused.sq_accumulate(fisher_acc, grads)
         sq = ewc_lib.fisher_batch_grads(
-            model.apply, params, model_state, x, y, valid_classes,
+            fwd_apply, params, model_state, x, y, valid_classes,
             kind=m.ewc_fisher_kind, rng=rng, ignore_index=d.ignore_index)
         return jax.tree.map(lambda a, s: a + s, fisher_acc, sq)
 
@@ -550,8 +576,22 @@ def train(cfg: Config) -> dict:
         # Multi-host slice: one controller process per host (SURVEY.md
         # §2.4); must run before the first device query below.
         sharding.initialize_multihost()
-    mesh = None
-    if cfg.train.data_parallel and len(jax.devices()) > 1:
+    mesh = smesh = None
+    if cfg.train.spatial_parallel and len(jax.devices()) > 1:
+        # Height-sharded training (SURVEY.md §5.7): takes precedence over
+        # DP; batch stays replicated, H shards with halo exchange.
+        from cl_tpu.parallel import spatial as spatial_lib
+        if cfg.model.norm != "group":
+            raise ValueError(
+                "spatial_parallel needs model.norm='group' (BatchNorm "
+                "batch stats are not sharded spatially)")
+        n = len(jax.devices())
+        if cfg.data.image_size % (n * (1 << cfg.model.depth)):
+            raise ValueError(
+                f"spatial_parallel: image_size {cfg.data.image_size} must "
+                f"divide by n_devices*2^depth = {n * (1 << cfg.model.depth)}")
+        smesh = spatial_lib.make_space_mesh(n)
+    elif cfg.train.data_parallel and len(jax.devices()) > 1:
         mesh = sharding.make_mesh()
         sharding.check_divisible(cfg.data.batch_size, mesh)
 
@@ -571,9 +611,10 @@ def train(cfg: Config) -> dict:
 
     def _build_steps(model):
         csteps.clear()
-        return (make_train_step(cfg, model, tx, mesh=mesh),
-                make_eval_step(cfg, model, mesh=mesh),
-                make_fisher_step(cfg, model, mesh=mesh)
+        return (make_train_step(cfg, model, tx, mesh=mesh,
+                                spatial_mesh=smesh),
+                make_eval_step(cfg, model, mesh=mesh, spatial_mesh=smesh),
+                make_fisher_step(cfg, model, mesh=mesh, spatial_mesh=smesh)
                 if "ewc" in cfg.method.methods else None)
 
     train_step, eval_step, fisher_step = _build_steps(model)

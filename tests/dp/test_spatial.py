@@ -77,3 +77,32 @@ def test_halo_rows_zero_at_edges(eight_devices):
     np.testing.assert_allclose(shards[0], [0, 1, 2, 3])
     np.testing.assert_allclose(shards[1], [2, 3, 4, 5])
     np.testing.assert_allclose(shards[3], [6, 7, 8, 0])
+
+
+def test_spatial_parallel_training_runs_and_matches(eight_devices):
+    """train.spatial_parallel end-to-end: the full continual driver trains
+    with the height-sharded forward and reports the same mIoU as the
+    single-device run (f32; psum'd GroupNorm stats reorder reductions, so
+    tolerance rather than bit-equality)."""
+    from cl_tpu.config import parse_overrides
+    from cl_tpu.train import train
+
+    ov = ["preset=smoke", "model.norm=group", "model.depth=2",
+          "data.num_classes=5", "train.num_tasks=2",
+          "method.methods=ewc", "data.train_images_per_task=8",
+          "data.image_size=32", "data.source_size=40"]
+    spatial = train(parse_overrides(ov + ["train.spatial_parallel=true"]))
+    single = train(parse_overrides(ov + ["train.data_parallel=false"]))
+    np.testing.assert_allclose(spatial["final_per_task_miou"],
+                               single["final_per_task_miou"], atol=5e-3)
+
+
+def test_spatial_parallel_rejects_batchnorm(eight_devices):
+    import pytest
+
+    from cl_tpu.config import parse_overrides
+    from cl_tpu.train import train
+
+    with pytest.raises(ValueError, match="norm"):
+        train(parse_overrides(["preset=smoke",
+                               "train.spatial_parallel=true"]))
