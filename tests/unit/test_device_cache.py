@@ -72,3 +72,15 @@ def test_cached_all_methods_run_identical_with_padded_eval():
     cached = train(_cfg(ov + ["data.device_cache=true",
                               "method.replay_device_resident=true"]))
     assert cached["final_per_task_miou"] == base["final_per_task_miou"]
+
+
+def test_grow_head_with_device_cache_matches_host():
+    # Grow-the-head mode rebuilds (and recompiles) the fused cached steps
+    # on every expansion; the trajectory must still match the host path.
+    from cl_tpu.train import train
+
+    ov = ["data.num_classes=5", "train.num_tasks=2",
+          "model.padded_head=false", "data.train_images_per_task=8"]
+    base = train(_cfg(ov))
+    cached = train(_cfg(ov + ["data.device_cache=true"]))
+    assert cached["final_per_task_miou"] == base["final_per_task_miou"]
