@@ -94,7 +94,10 @@ def save_task(cfg: Config, state, replay, task_id: int,
     # would splice the OLD run's trajectory onto this one via latest_task.
     root = os.path.abspath(cfg.train.checkpoint_dir)
     for name in os.listdir(root):
-        if name.startswith("task_") and int(name.split("_", 1)[1]) > task_id:
+        # isdigit guard: a user's task_old/ or task_0.bak must not crash
+        # the sweep (only our own numeric task_{t} dirs are managed).
+        suffix = name.split("_", 1)[1] if name.startswith("task_") else ""
+        if suffix.isdigit() and int(suffix) > task_id:
             stale_meta = os.path.join(root, name, "meta.json")
             if os.path.exists(stale_meta):
                 os.remove(stale_meta)
@@ -136,9 +139,10 @@ def latest_task(cfg: Config) -> int | None:
         return None
     done = []
     for name in os.listdir(root):
-        if name.startswith("task_") and \
+        suffix = name.split("_", 1)[1] if name.startswith("task_") else ""
+        if suffix.isdigit() and \
                 os.path.exists(os.path.join(root, name, "meta.json")):
-            done.append(int(name.split("_", 1)[1]))
+            done.append(int(suffix))
     return max(done) if done else None
 
 

@@ -78,13 +78,17 @@ def build_replay_plan(buf, *, steps: int, k: int, batch_size: int,
     Returns ("batch", dup_idx[S,k], None) or
             ("buffer", idx[S,k], flips[S,k])."""
     if len(buf) == 0:
-        dup = np.stack([buf.rng.randint(0, batch_size, size=k)
-                        for _ in range(steps)])
+        dup = (np.stack([buf.rng.randint(0, batch_size, size=k)
+                         for _ in range(steps)]) if steps
+               else np.zeros((0, k), np.int64))
         return "batch", jnp.asarray(dup.astype(np.int32)), None
     idxs, flips = [], []
     for _ in range(steps):
         idxs.append(buf.rng.randint(0, len(buf), size=k))
         flips.append(buf.rng.rand(k) < flip_prob)
+    if not steps:  # zero-step epoch (dataset smaller than the batch)
+        return ("buffer", jnp.zeros((0, k), jnp.int32),
+                jnp.zeros((0, k), bool))
     return ("buffer", jnp.asarray(np.stack(idxs).astype(np.int32)),
             jnp.asarray(np.stack(flips)))
 

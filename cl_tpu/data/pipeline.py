@@ -112,9 +112,19 @@ def batches(
         )
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
 def make_datasets(cfg: Config, task_id: int):
     """(train_ds, val_ds) for one task. val is remapped to the same task's
-    class set; cross-task eval uses each task's own val set (SURVEY.md §3.1)."""
+    class set; cross-task eval uses each task's own val set (SURVEY.md §3.1).
+
+    Memoized on the (frozen, hashable) config: the driver calls this every
+    epoch and every eval, and directory datasets scan + decode every mask
+    for class filtering at construction — without the cache a T-task run
+    re-decodes the mask directory O(T·E + T²) times. Datasets are
+    read-only, so sharing instances is safe."""
     splits = cfg.classes_per_task
     task_classes = splits[task_id]
     d = cfg.data

@@ -71,15 +71,3 @@ def kd_loss_jnp(
     return (t * t) * jnp.sum(kl * mask) / n
 
 
-def ewc_penalty_jnp(params, anchor_params, fisher) -> jax.Array:
-    """(1/2)·Σ_i F_i (θ_i − θ*_i)² as a tree-map (SURVEY.md §2.1 "EWC").
-
-    ``cl_tpu.pallas.ewc_fused`` is the fused flattened-vector variant. The
-    λ weight is applied by the caller.
-    """
-    def leaf(p, a, f):
-        d = p.astype(jnp.float32) - a.astype(jnp.float32)
-        return jnp.sum(f.astype(jnp.float32) * d * d)
-
-    leaves = jax.tree.leaves(jax.tree.map(leaf, params, anchor_params, fisher))
-    return 0.5 * jnp.sum(jnp.stack(leaves))

@@ -84,7 +84,8 @@ def _group_norm(x: jax.Array, scale, bias, *, groups: int,
     """GroupNorm with spatially-global statistics: local sums psum over the
     space axis (flax GroupNorm semantics on the unsharded tensor)."""
     B, h, W, C = x.shape
-    g = x.reshape(B, h, W, groups, C // groups)
+    in_dtype = x.dtype
+    g = x.reshape(B, h, W, groups, C // groups).astype(jnp.float32)
     local_n = jnp.float32(h * W * (C // groups))
     s1 = jnp.sum(g, axis=(1, 2, 4))                       # [B, groups]
     s2 = jnp.sum(g * g, axis=(1, 2, 4))
@@ -96,12 +97,12 @@ def _group_norm(x: jax.Array, scale, bias, *, groups: int,
     mean = mean[:, None, None, :, None]
     inv = jax.lax.rsqrt(var + eps)[:, None, None, :, None]
     out = ((g - mean) * inv).reshape(B, h, W, C)
-    return out * scale + bias
+    return (out * scale + bias).astype(in_dtype)
 
 
 def _double_conv(x, p, *, axis: str):
     for i in range(2):
-        x = _conv3x3(x, p[f"conv{i}"]["kernel"], axis)
+        x = _conv3x3(x, p[f"conv{i}"]["kernel"].astype(x.dtype), axis)
         gn = p[f"gn{i}"]
         groups = min(8, x.shape[-1])
         x = _group_norm(x, gn["scale"], gn["bias"], groups=groups, axis=axis)
@@ -110,7 +111,9 @@ def _double_conv(x, p, *, axis: str):
 
 
 def _unet_forward_local(params, x, *, depth: int, axis: str):
-    """Per-shard UNet forward (runs inside shard_map)."""
+    """Per-shard UNet forward (runs inside shard_map). Runs in ``x``'s
+    dtype (bf16 compute casts params per-op, like the flax path); norm
+    statistics are always f32."""
     skips = []
     for level in range(depth):
         x = _double_conv(x, params[f"enc{level}"], axis=axis)
@@ -120,11 +123,13 @@ def _unet_forward_local(params, x, *, depth: int, axis: str):
     x = _double_conv(x, params["bottleneck"], axis=axis)
     for level in reversed(range(depth)):
         up = params[f"up{level}"]
-        x = _conv_transpose2x2(x, up["kernel"], up["bias"])
+        x = _conv_transpose2x2(x, up["kernel"].astype(x.dtype),
+                               up["bias"].astype(x.dtype))
         x = jnp.concatenate([skips[level], x], axis=-1)
         x = _double_conv(x, params[f"dec{level}"], axis=axis)
     head = params["head"]
-    return _conv1x1(x, head["kernel"], head["bias"]).astype(jnp.float32)
+    return _conv1x1(x, head["kernel"].astype(x.dtype),
+                    head["bias"].astype(x.dtype)).astype(jnp.float32)
 
 
 def make_space_mesh(n: int, devices=None) -> Mesh:
@@ -132,13 +137,17 @@ def make_space_mesh(n: int, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (SPACE_AXIS,))
 
 
-def spatial_apply(params, x: jax.Array, mesh: Mesh, *, depth: int = 4):
+def spatial_apply(params, x: jax.Array, mesh: Mesh, *, depth: int = 4,
+                  dtype=None):
     """UNet forward with H sharded over ``mesh``'s space axis.
 
     ``params`` is the standard ``UNet.init`` params tree with norm="group".
     H must be divisible by n_devices · 2^depth (even shard heights at
-    every pooling level).
+    every pooling level). ``dtype`` sets the compute/activation dtype
+    (bf16 casts params per-op; GroupNorm stats stay f32).
     """
+    if dtype is not None:
+        x = x.astype(dtype)
     n = mesh.shape[SPACE_AXIS]
     H = x.shape[1]
     if H % (n * (1 << depth)):

@@ -30,13 +30,6 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch_pytree(batch, mesh: Mesh):
-    """NamedSharding for every leaf of a HostBatch-like pytree (all leaves
-    have a leading batch dim)."""
-    s = batch_sharding(mesh)
-    return jax.tree.map(lambda _: s, batch)
-
-
 def check_divisible(global_batch: int, mesh: Mesh) -> None:
     n = mesh.devices.size
     if global_batch % n:

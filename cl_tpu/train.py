@@ -141,10 +141,12 @@ def spatial_apply_fn(cfg: Config, spatial_mesh) -> Callable:
     from cl_tpu.parallel import spatial as spatial_lib
 
     depth = cfg.model.depth
+    dtype = _dtype(cfg)
 
     def apply(variables, x, train=False, mutable=None):
         out = spatial_lib.spatial_apply(variables["params"], x,
-                                        spatial_mesh, depth=depth)
+                                        spatial_mesh, depth=depth,
+                                        dtype=dtype)
         return (out, {}) if mutable else out
 
     return apply
@@ -463,22 +465,33 @@ def make_fisher_step(cfg: Config, model: UNet, mesh=None,
 
 def make_cached_fisher_step(cfg: Config, model: UNet) -> Callable:
     """ONE-dispatch-per-step Fisher accumulation over the HBM dataset
-    cache. Per-batch keys derive as fold_in(rng_base, s) — deterministic;
-    note this differs from the host path's split-chain, so SAMPLED-Fisher
-    draws differ between the two input paths (empirical Fisher, the
-    default, uses no randomness and is identical)."""
+    cache. ``rng_keys`` is the host path's exact per-batch split-chain
+    (``fisher_rng_keys``), indexed by step — so sampled-Fisher draws are
+    identical whichever input path runs."""
     from cl_tpu.data import cached_exec
 
     body = make_fisher_step(cfg, model, as_body=True)
 
     def step(acc, s, params, model_state, images, masks, plan_idx,
-             plan_flip, valid, rng_base):
+             plan_flip, valid, rng_keys):
         batch = cached_exec.gather_batch(
             images, masks, (plan_idx, plan_flip), s)
-        rng = jax.random.fold_in(rng_base, s)
-        return body(acc, params, model_state, batch, valid, rng), s + 1
+        return body(acc, params, model_state, batch, valid,
+                    rng_keys[s]), s + 1
 
     return jax.jit(step, donate_argnums=(0, 1))
+
+
+def fisher_rng_keys(state: TrainState, task_id: int, n: int) -> jax.Array:
+    """The host Fisher pass's per-batch keys, as one stacked array: the
+    sequential ``rng, sub = split(rng)`` chain from
+    ``fold_in(state.rng, 1000 + task_id)`` (mirrors run_fisher_pass)."""
+    rng = jax.random.fold_in(state.rng, 1000 + task_id)
+    subs = []
+    for _ in range(n):
+        rng, sub = jax.random.split(rng)
+        subs.append(sub)
+    return jnp.stack(subs) if subs else jnp.zeros((0, 2), jnp.uint32)
 
 
 def run_fisher_pass(cfg: Config, fisher_step, state: TrainState,
@@ -567,11 +580,22 @@ def _device_replay_mix(buf, batch: pipeline.HostBatch, k: int, *,
 
 def train(cfg: Config) -> dict:
     """The public train API (SURVEY.md §1 L4: ``train(cfg) -> results``)."""
-    from cl_tpu import checkpoint as ckpt_lib
     from cl_tpu.logging_utils import EventLogger
 
     logger = EventLogger(cfg.train.log_path,
                          cfg.train.tensorboard_dir)
+    try:
+        return _train_impl(cfg, logger)
+    finally:
+        # Flush + release the JSONL handle and the TB writer even on a
+        # crash (fault injection, ValueError) — long-lived processes run
+        # many train() calls.
+        logger.close()
+
+
+def _train_impl(cfg: Config, logger) -> dict:
+    from cl_tpu import checkpoint as ckpt_lib
+
     if cfg.train.multihost:
         # Multi-host slice: one controller process per host (SURVEY.md
         # §2.4); must run before the first device query below.
@@ -635,6 +659,10 @@ def train(cfg: Config) -> dict:
     T = cfg.train.num_tasks
     use_replay = "replay" in cfg.method.methods
     dev_replay = use_replay and cfg.method.replay_device_resident
+    if dev_replay and smesh is not None:
+        logger.log(event="replay_device_resident_disabled",
+                   reason="spatial_mesh")
+        dev_replay = False
     if dev_replay and mesh is not None:
         # DP feeds from hosts (the HBM buffer is unsharded). The host
         # buffer mirrors the same RandomState stream, so falling back is
@@ -657,10 +685,13 @@ def train(cfg: Config) -> dict:
     # per task, batches gathered on device — removes the per-step host→HBM
     # put, which dominates e2e time once the step is fast (DESIGN.md §8).
     dev_cache = cfg.data.device_cache
-    if dev_cache and mesh is not None:
+    if dev_cache and (mesh is not None or smesh is not None):
         # Same fallback rationale as the replay buffer above; the host
         # pipeline delivers a bit-identical stream (shared epoch_plan).
-        logger.log(event="device_cache_disabled", reason="dp_mesh")
+        # Spatial: the fused cached steps embed the unsharded forward, so
+        # running them under smesh would silently train on one shard.
+        logger.log(event="device_cache_disabled",
+                   reason="dp_mesh" if mesh is not None else "spatial_mesh")
         dev_cache = False
     caches: dict = {}
     rep_arrays: dict = {}  # per-task device copy of the replay arrays
@@ -817,8 +848,11 @@ def train(cfg: Config) -> dict:
             ep_time = time.perf_counter() - t_ep
             # Steady state only: the run's first epoch carries the jit
             # compile; in grow mode every task's first epoch recompiles.
+            # Profiled epochs carry trace overhead; exclude them from the
+            # steady-state rate alongside compile epochs.
             compiling = (epoch == 0 and (task_id == start_task or grow)
-                         or (dev_cache and first_program_use))
+                         or (dev_cache and first_program_use)
+                         or profiling)
             if not compiling:
                 step_times.append((ep_time, n_steps))
             if profiling:
@@ -853,13 +887,13 @@ def train(cfg: Config) -> dict:
                 nf = min(fplan.steps, cfg.method.ewc_fisher_batches)
                 acc = jax.tree.map(
                     lambda p: jnp.zeros_like(p, jnp.float32), state.params)
-                rng_base = jax.random.fold_in(state.rng, 1000 + task_id)
+                rng_keys = fisher_rng_keys(state, task_id, nf)
                 fs = _cached_step("fisher")
                 s = jnp.int32(0)
                 for _ in range(nf):
                     acc, s = fs(acc, s, state.params, state.model_state,
                                 cache.images, cache.masks, fplan.idx,
-                                fplan.flip, valid_dev, rng_base)
+                                fplan.flip, valid_dev, rng_keys)
                 fisher_new = jax.tree.map(lambda a: a / max(nf, 1), acc)
             else:
                 fisher_new = run_fisher_pass(cfg, fisher_step, state,

@@ -106,3 +106,16 @@ def test_spatial_parallel_rejects_batchnorm(eight_devices):
     with pytest.raises(ValueError, match="norm"):
         train(parse_overrides(["preset=smoke",
                                "train.spatial_parallel=true"]))
+
+
+def test_spatial_parallel_bf16_runs(eight_devices):
+    # bf16 compute through the height-sharded path (params cast per-op,
+    # GroupNorm stats f32) — regression for the lax-conv dtype mismatch.
+    from cl_tpu.config import parse_overrides
+    from cl_tpu.train import train
+
+    res = train(parse_overrides([
+        "preset=smoke", "model.norm=group", "model.depth=2",
+        "data.image_size=32", "data.source_size=40",
+        "train.compute_dtype=bfloat16", "train.spatial_parallel=true"]))
+    assert np.isfinite(res["mean_final_miou"])

@@ -84,3 +84,30 @@ def test_grow_head_with_device_cache_matches_host():
     base = train(_cfg(ov))
     cached = train(_cfg(ov + ["data.device_cache=true"]))
     assert cached["final_per_task_miou"] == base["final_per_task_miou"]
+
+
+def test_sampled_fisher_identical_across_input_paths():
+    # ewc_fisher_kind="true" draws labels from per-batch RNG keys; the
+    # plan-driven path must consume the host path's exact split-chain so
+    # the consolidated Fisher (and thus the trajectory) matches.
+    from cl_tpu.train import train
+
+    ov = ["data.num_classes=5", "train.num_tasks=2",
+          "method.methods=ewc", "method.ewc_fisher_kind=true",
+          "data.train_images_per_task=8"]
+    base = train(_cfg(ov))
+    cached = train(_cfg(ov + ["data.device_cache=true"]))
+    assert cached["final_per_task_miou"] == base["final_per_task_miou"]
+
+
+def test_device_cache_replay_smaller_than_batch_runs():
+    # Zero-step epochs with replay enabled: build_replay_plan must handle
+    # steps=0 (np.stack of an empty list regression).
+    from cl_tpu.train import train
+
+    res = train(_cfg([
+        "data.num_classes=2", "train.num_tasks=1",
+        "data.train_images_per_task=4", "data.batch_size=8",
+        "data.val_images_per_task=4", "data.device_cache=true",
+        "method.methods=replay"]))
+    assert np.isfinite(res["mean_final_miou"])
