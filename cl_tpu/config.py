@@ -38,8 +38,13 @@ class DataConfig:
     prefetch_depth: int = 2  # double-buffered host->HBM
     # HBM-resident dataset cache: one bulk transfer per task, batches formed
     # on device by gather (identical seeded stream — see data/device_cache.py).
-    # Single-device only; removes the per-step host->HBM put.
+    # Removes the per-step host->HBM put.
     device_cache: bool = False
+    # With device_cache: run each train/eval/Fisher epoch as ONE lax.scan
+    # dispatch over the device-resident plan (zero per-step dispatches).
+    # False = one fused dispatch per step (debuggability). Result-identical
+    # (tested: tests/unit/test_device_cache.py).
+    epoch_scan: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -143,8 +148,9 @@ class Config:
         # Both input-residency options are result-identical to the host
         # pipeline (same seeded streams; tested exactly), so toggling them
         # across a resume — e.g. a DP checkpoint restored single-device —
-        # is operational, not a trajectory change.
-        "data": ("device_cache",),
+        # is operational, not a trajectory change. epoch_scan only fuses
+        # the dispatch granularity of the same program (tested identical).
+        "data": ("device_cache", "epoch_scan"),
         "method": ("replay_device_resident",),
     }
 

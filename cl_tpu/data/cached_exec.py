@@ -95,11 +95,40 @@ def build_replay_plan(buf, *, steps: int, k: int, batch_size: int,
 
 def replay_arrays(buf):
     """(images, masks) device arrays to gather replay rows from — the
-    HBM buffer's own arrays, or a per-task upload of the host buffer."""
+    HBM buffer's own arrays, or a per-task upload of the host buffer.
+
+    The host-buffer upload is ZERO-PADDED to ``buf.capacity`` rows so the
+    jitted step's input shape is constant across tasks (the buffer grows
+    per task; an unpadded upload would recompile the fused step every
+    task and those compile epochs would pollute steady-state timing).
+    Padding rows are never sampled: plan indices draw from ``len(buf)``.
+    """
     if isinstance(getattr(buf, "images", None), list):  # host ReplayBuffer
-        return (jnp.asarray(np.stack(buf.images)),
-                jnp.asarray(np.stack(buf.masks)))
+        imgs, msks = np.stack(buf.images), np.stack(buf.masks)
+        pad = buf.capacity - imgs.shape[0]
+        if pad > 0:
+            imgs = np.concatenate(
+                [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
+            msks = np.concatenate(
+                [msks, np.zeros((pad,) + msks.shape[1:], msks.dtype)])
+        return jnp.asarray(imgs), jnp.asarray(msks)
     return buf.images, buf.masks
+
+
+def gather_batch_row(images, masks, idx, flip, *, pad=None,
+                     ignore_index: int | None = None):
+    """Form ONE step's batch on device from a single plan row — the
+    ``lax.scan`` body variant of :func:`gather_batch` (the scan carries the
+    plan as its xs, so rows arrive pre-sliced). With ``pad``, padded rows'
+    masks become pure ignore_index (the eval padding contract)."""
+    msk = jnp.take(masks, idx, axis=0)
+    if pad is not None:
+        msk = jnp.where(pad[:, None, None], jnp.uint8(ignore_index), msk)
+    return pipeline.HostBatch(
+        image=jnp.take(images, idx, axis=0),
+        mask=msk,
+        flip=flip,
+    )
 
 
 def gather_batch(images, masks, plan: tuple, s, *,
@@ -117,6 +146,26 @@ def gather_batch(images, masks, plan: tuple, s, *,
         image=jnp.take(images, idx, axis=0),
         mask=msk,
         flip=plan_flip[s],
+    )
+
+
+def widen_with_replay_row(batch: "pipeline.HostBatch", mode: str, r, rflip,
+                          rep_images=None, rep_masks=None
+                          ) -> "pipeline.HostBatch":
+    """Row-level (lax.scan body) variant of :func:`widen_with_replay`:
+    ``r``/``rflip`` are one step's replay indices/flips, pre-sliced by the
+    scan. "batch" mode duplicates rows of the fresh batch itself."""
+    if mode == "batch":
+        rimg = jnp.take(batch.image, r, axis=0)
+        rmsk = jnp.take(batch.mask, r, axis=0)
+        rflip = jnp.take(batch.flip, r, axis=0)
+    else:
+        rimg = jnp.take(rep_images, r, axis=0)
+        rmsk = jnp.take(rep_masks, r, axis=0)
+    return pipeline.HostBatch(
+        image=jnp.concatenate([batch.image, rimg]),
+        mask=jnp.concatenate([batch.mask, rmsk]),
+        flip=jnp.concatenate([batch.flip, rflip]),
     )
 
 

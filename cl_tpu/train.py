@@ -20,6 +20,7 @@ TPU-native design:
 from __future__ import annotations
 
 import time
+import warnings
 from typing import Any, Callable
 
 import jax
@@ -301,21 +302,24 @@ def make_train_step(cfg: Config, model: UNet, tx,
 
 
 def make_cached_train_step(cfg: Config, model: UNet, tx, *,
-                           replay_source: str = "none") -> Callable:
+                           replay_source: str = "none",
+                           mesh=None) -> Callable:
     """ONE-dispatch-per-step training over the HBM dataset cache
     (data/cached_exec.py): slice row ``s`` of the device-resident epoch
     plan, gather the batch, widen with replay rows, augment, train.
     ``replay_source``: "none" | "batch" (empty buffer: duplicate fresh
-    rows) | "buffer" (gather from HBM replay arrays)."""
+    rows) | "buffer" (gather from HBM replay arrays). Under a DP ``mesh``
+    the cache/plan are replicated and the gathered batch reshards onto the
+    data axis in-program."""
     from cl_tpu.data import cached_exec
 
-    body = make_train_step(cfg, model, tx, mesh=None, as_body=True)
+    body = make_train_step(cfg, model, tx, mesh=mesh, as_body=True)
 
     if replay_source == "none":
         def step(state, s, images, masks, plan_idx, plan_flip, valid):
             batch = cached_exec.gather_batch(
                 images, masks, (plan_idx, plan_flip), s)
-            new_state, aux = body(state, batch, valid)
+            new_state, aux = body(state, _constrain_batch(batch, mesh), valid)
             return new_state, aux, s + 1
     elif replay_source == "batch":
         def step(state, s, images, masks, plan_idx, plan_flip, valid,
@@ -324,7 +328,7 @@ def make_cached_train_step(cfg: Config, model: UNet, tx, *,
                 images, masks, (plan_idx, plan_flip), s)
             batch = cached_exec.widen_with_replay(
                 batch, "batch", rep_plan_idx, None, s)
-            new_state, aux = body(state, batch, valid)
+            new_state, aux = body(state, _constrain_batch(batch, mesh), valid)
             return new_state, aux, s + 1
     elif replay_source == "buffer":
         def step(state, s, images, masks, plan_idx, plan_flip, valid,
@@ -334,11 +338,81 @@ def make_cached_train_step(cfg: Config, model: UNet, tx, *,
             batch = cached_exec.widen_with_replay(
                 batch, "buffer", rep_plan_idx, rep_plan_flip, s,
                 rep_images, rep_masks)
-            new_state, aux = body(state, batch, valid)
+            new_state, aux = body(state, _constrain_batch(batch, mesh), valid)
             return new_state, aux, s + 1
     else:
         raise ValueError(f"unknown replay_source {replay_source!r}")
+    if mesh is not None:
+        rspec = sharding.replicated(mesh)
+        n_extra = {"none": 0, "batch": 1, "buffer": 4}[replay_source]
+        return jax.jit(step, in_shardings=(rspec,) * (7 + n_extra),
+                       out_shardings=(rspec, rspec, rspec),
+                       donate_argnums=(0, 1))
     return jax.jit(step, donate_argnums=(0, 1))
+
+
+def _constrain_batch(batch, mesh):
+    """Reshard a device-gathered batch onto the DP data axis inside a
+    jitted program (the cache is replicated per chip; the slice is local —
+    no collective)."""
+    if mesh is None:
+        return batch
+    bspec = sharding.batch_sharding(mesh)
+    return jax.tree.map(
+        lambda a: jax.lax.with_sharding_constraint(a, bspec), batch)
+
+
+def make_cached_train_epoch(cfg: Config, model: UNet, tx, *,
+                            replay_source: str = "none",
+                            mesh=None) -> Callable:
+    """ONE-dispatch-per-EPOCH training: ``lax.scan`` over the
+    device-resident epoch plan, the whole epoch as a single XLA program.
+
+    The per-step path (make_cached_train_step) already got per-step
+    host→device traffic to zero, but still paid one dispatch RPC per step
+    — 15-45 ms on a relay-attached host, ~half the 512² step budget
+    (VERDICT round-1 weakness 2). Everything a step consumes is already in
+    HBM (cache, plan, replay arrays), so the TPU-native shape is a scan:
+    carry = TrainState, xs = plan rows, per-step aux losses stacked on
+    device. Under a DP ``mesh``, the scanned batch is resharded onto the
+    data axis in-program (cache and plan are replicated)."""
+    from cl_tpu.data import cached_exec
+
+    body = make_train_step(cfg, model, tx, mesh=mesh, as_body=True)
+
+    def epoch(state: TrainState, images, masks, plan_idx, plan_flip,
+              valid: jax.Array, *rep):
+        if replay_source == "buffer":
+            rep_idx, rep_flip, rep_images, rep_masks = rep
+            xs = (plan_idx, plan_flip, rep_idx, rep_flip)
+        elif replay_source == "batch":
+            (rep_idx,) = rep
+            rep_images = rep_masks = None
+            xs = (plan_idx, plan_flip, rep_idx)
+        else:
+            xs = (plan_idx, plan_flip)
+
+        def scan_body(state, x):
+            batch = cached_exec.gather_batch_row(images, masks, x[0], x[1])
+            if replay_source == "batch":
+                batch = cached_exec.widen_with_replay_row(
+                    batch, "batch", x[2], None)
+            elif replay_source == "buffer":
+                batch = cached_exec.widen_with_replay_row(
+                    batch, "buffer", x[2], x[3], rep_images, rep_masks)
+            batch = _constrain_batch(batch, mesh)
+            return body(state, batch, valid)
+
+        return jax.lax.scan(scan_body, state, xs)
+
+    if mesh is not None:
+        rspec = sharding.replicated(mesh)
+        n_extra = {"none": 0, "batch": 1, "buffer": 4}[replay_source]
+        return jax.jit(epoch,
+                       in_shardings=(rspec,) * (6 + n_extra),
+                       out_shardings=(rspec, rspec),
+                       donate_argnums=(0,))
+    return jax.jit(epoch, donate_argnums=(0,))
 
 
 # ---------------------------------------------------------------------------
@@ -374,12 +448,12 @@ def make_eval_step(cfg: Config, model: UNet, mesh=None,
     return jax.jit(step)
 
 
-def make_cached_eval_step(cfg: Config, model: UNet) -> Callable:
+def make_cached_eval_step(cfg: Config, model: UNet, mesh=None) -> Callable:
     """ONE-dispatch-per-step eval over the HBM dataset cache; padded plan
     rows (val set not batch-divisible) carry an all-ignore mask."""
     from cl_tpu.data import cached_exec
 
-    body = make_eval_step(cfg, model, as_body=True)
+    body = make_eval_step(cfg, model, mesh=mesh, as_body=True)
     ignore = cfg.data.ignore_index
 
     def step(conf, s, params, model_state, images, masks, plan_idx,
@@ -387,9 +461,43 @@ def make_cached_eval_step(cfg: Config, model: UNet) -> Callable:
         batch = cached_exec.gather_batch(
             images, masks, (plan_idx, jnp.zeros_like(plan_idx, bool),
                             plan_pad), s, ignore_index=ignore)
+        batch = _constrain_batch(batch, mesh)
         return body(conf, params, model_state, batch, valid), s + 1
 
+    if mesh is not None:
+        rspec = sharding.replicated(mesh)
+        return jax.jit(step, in_shardings=(rspec,) * 9,
+                       out_shardings=(rspec, rspec), donate_argnums=(0, 1))
     return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_cached_eval_epoch(cfg: Config, model: UNet, mesh=None) -> Callable:
+    """ONE-dispatch-per-EPOCH eval: scan the val plan, confusion matrix as
+    the carry. Padded plan rows (val set not batch-divisible) carry an
+    all-ignore mask, exactly like the per-step path."""
+    from cl_tpu.data import cached_exec
+
+    body = make_eval_step(cfg, model, mesh=mesh, as_body=True)
+    ignore = cfg.data.ignore_index
+
+    def epoch(conf, params, model_state, images, masks, plan_idx, plan_pad,
+              valid):
+        def scan_body(conf, x):
+            idx, pad = x
+            batch = cached_exec.gather_batch_row(
+                images, masks, idx, jnp.zeros_like(idx, bool),
+                pad=pad, ignore_index=ignore)
+            batch = _constrain_batch(batch, mesh)
+            return body(conf, params, model_state, batch, valid), None
+
+        conf, _ = jax.lax.scan(scan_body, conf, (plan_idx, plan_pad))
+        return conf
+
+    if mesh is not None:
+        rspec = sharding.replicated(mesh)
+        return jax.jit(epoch, in_shardings=(rspec,) * 8,
+                       out_shardings=rspec, donate_argnums=(0,))
+    return jax.jit(epoch, donate_argnums=(0,))
 
 
 def evaluate_task(cfg: Config, eval_step, state: TrainState, task_id: int,
@@ -463,23 +571,55 @@ def make_fisher_step(cfg: Config, model: UNet, mesh=None,
     return jax.jit(step)
 
 
-def make_cached_fisher_step(cfg: Config, model: UNet) -> Callable:
+def make_cached_fisher_step(cfg: Config, model: UNet, mesh=None) -> Callable:
     """ONE-dispatch-per-step Fisher accumulation over the HBM dataset
     cache. ``rng_keys`` is the host path's exact per-batch split-chain
     (``fisher_rng_keys``), indexed by step — so sampled-Fisher draws are
     identical whichever input path runs."""
     from cl_tpu.data import cached_exec
 
-    body = make_fisher_step(cfg, model, as_body=True)
+    body = make_fisher_step(cfg, model, mesh=mesh, as_body=True)
 
     def step(acc, s, params, model_state, images, masks, plan_idx,
              plan_flip, valid, rng_keys):
         batch = cached_exec.gather_batch(
             images, masks, (plan_idx, plan_flip), s)
+        batch = _constrain_batch(batch, mesh)
         return body(acc, params, model_state, batch, valid,
                     rng_keys[s]), s + 1
 
+    if mesh is not None:
+        rspec = sharding.replicated(mesh)
+        return jax.jit(step, in_shardings=(rspec,) * 10,
+                       out_shardings=(rspec, rspec), donate_argnums=(0, 1))
     return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_cached_fisher_epoch(cfg: Config, model: UNet, mesh=None) -> Callable:
+    """ONE-dispatch Fisher pass: scan the (sliced-to-nf) plan rows with
+    the f32 squared-grad accumulator as the carry. ``rng_keys`` rides the
+    scan xs so sampled-Fisher draws match the host path exactly."""
+    from cl_tpu.data import cached_exec
+
+    body = make_fisher_step(cfg, model, mesh=mesh, as_body=True)
+
+    def epoch(acc, params, model_state, images, masks, plan_idx, plan_flip,
+              valid, rng_keys):
+        def scan_body(acc, x):
+            idx, flip, key = x
+            batch = cached_exec.gather_batch_row(images, masks, idx, flip)
+            batch = _constrain_batch(batch, mesh)
+            return body(acc, params, model_state, batch, valid, key), None
+
+        acc, _ = jax.lax.scan(scan_body, acc,
+                              (plan_idx, plan_flip, rng_keys))
+        return acc
+
+    if mesh is not None:
+        rspec = sharding.replicated(mesh)
+        return jax.jit(epoch, in_shardings=(rspec,) * 9,
+                       out_shardings=rspec, donate_argnums=(0,))
+    return jax.jit(epoch, donate_argnums=(0,))
 
 
 def fisher_rng_keys(state: TrainState, task_id: int, n: int) -> jax.Array:
@@ -578,22 +718,56 @@ def _device_replay_mix(buf, batch: pipeline.HostBatch, k: int, *,
 # ---------------------------------------------------------------------------
 
 
-def train(cfg: Config) -> dict:
-    """The public train API (SURVEY.md §1 L4: ``train(cfg) -> results``)."""
+def _inject_variables(cfg: Config, state: TrainState, tx,
+                      variables) -> TrainState:
+    """Replace the freshly-initialized model variables with caller-supplied
+    ones — the shared-weights parity gates (tests/parity/test_endtoend.py)
+    train the torch oracle and this framework from IDENTICAL initial
+    weights. Method state that embeds the variables' structure (LwF
+    snapshot buffers, EWC anchors) is rebuilt around them and the
+    optimizer re-initializes for the new params. Padded-head mode only
+    (the injected head must already have the full class width)."""
+    params = jax.tree.map(jnp.asarray, variables["params"])
+    model_state = {k: jax.tree.map(jnp.asarray, v)
+                   for k, v in variables.items() if k != "params"}
+    ewc = state.ewc
+    if ewc is not None:
+        ewc = ewc_lib.make_ewc_state(
+            params, mode=cfg.method.ewc_mode,
+            max_tasks=max(cfg.train.num_tasks - 1, 1))
+    lwf = state.lwf
+    if lwf is not None:
+        lwf = lwf_lib.make_lwf_state(
+            {"params": params, **model_state}, cfg.data.num_classes)
+    return state.replace(params=params, model_state=model_state,
+                         opt_state=tx.init(params), ewc=ewc, lwf=lwf)
+
+
+def train(cfg: Config, init_variables=None) -> dict:
+    """The public train API (SURVEY.md §1 L4: ``train(cfg) -> results``).
+
+    ``init_variables``: optional flax ``{'params'[, 'batch_stats']}``
+    pytree to start from instead of the seeded flax init (e.g. imported
+    torch weights via ``cl_tpu.interop``)."""
     from cl_tpu.logging_utils import EventLogger
 
     logger = EventLogger(cfg.train.log_path,
                          cfg.train.tensorboard_dir)
     try:
-        return _train_impl(cfg, logger)
+        return _train_impl(cfg, logger, init_variables)
     finally:
         # Flush + release the JSONL handle and the TB writer even on a
         # crash (fault injection, ValueError) — long-lived processes run
         # many train() calls.
         logger.close()
+        # Release the per-run dataset memo: directory datasets would be
+        # re-served stale if the data dir changes between train() calls
+        # in one process, and decoded sets would pin memory for the
+        # process lifetime.
+        pipeline.make_datasets.cache_clear()
 
 
-def _train_impl(cfg: Config, logger) -> dict:
+def _train_impl(cfg: Config, logger, init_variables=None) -> dict:
     from cl_tpu import checkpoint as ckpt_lib
 
     if cfg.train.multihost:
@@ -627,6 +801,11 @@ def _train_impl(cfg: Config, logger) -> dict:
         cfg, head_width=task_head_width(cfg, 0) if grow else None)
     tx = build_optimizer(cfg)
     state = init_state(cfg, model, tx)
+    if init_variables is not None:
+        if grow:
+            raise ValueError("init_variables requires model.padded_head "
+                             "(injected head width must be full)")
+        state = _inject_variables(cfg, state, tx, init_variables)
 
     # Fused plan-driven steps for the HBM dataset cache (built lazily;
     # cleared whenever the model is rebuilt in grow mode). Late-binding
@@ -648,11 +827,18 @@ def _train_impl(cfg: Config, logger) -> dict:
         if key not in csteps:
             if kind == "train":
                 csteps[key] = make_cached_train_step(
-                    cfg, model, tx, replay_source=mode)
+                    cfg, model, tx, replay_source=mode, mesh=mesh)
+            elif kind == "train_epoch":
+                csteps[key] = make_cached_train_epoch(
+                    cfg, model, tx, replay_source=mode, mesh=mesh)
             elif kind == "eval":
-                csteps[key] = make_cached_eval_step(cfg, model)
+                csteps[key] = make_cached_eval_step(cfg, model, mesh=mesh)
+            elif kind == "eval_epoch":
+                csteps[key] = make_cached_eval_epoch(cfg, model, mesh=mesh)
+            elif kind == "fisher":
+                csteps[key] = make_cached_fisher_step(cfg, model, mesh=mesh)
             else:
-                csteps[key] = make_cached_fisher_step(cfg, model)
+                csteps[key] = make_cached_fisher_epoch(cfg, model, mesh=mesh)
         return csteps[key]
 
     splits = cfg.classes_per_task
@@ -662,13 +848,21 @@ def _train_impl(cfg: Config, logger) -> dict:
     if dev_replay and smesh is not None:
         logger.log(event="replay_device_resident_disabled",
                    reason="spatial_mesh")
+        warnings.warn("method.replay_device_resident disabled under "
+                      "spatial_parallel (falling back to the host buffer; "
+                      "result-identical)", stacklevel=2)
         dev_replay = False
-    if dev_replay and mesh is not None:
-        # DP feeds from hosts (the HBM buffer is unsharded). The host
-        # buffer mirrors the same RandomState stream, so falling back is
-        # result-identical — presets enable HBM residency for their
-        # single-device rungs without breaking the same preset on a mesh.
+    if dev_replay and mesh is not None and not cfg.data.device_cache:
+        # The host-pipeline DP path mixes replay rows with the Pallas
+        # per-row DMA gather, which has no SPMD partitioning rule — feed
+        # from the host buffer instead (same RandomState stream, so the
+        # fallback is result-identical). Under device_cache the plan-driven
+        # path gathers replay rows with jnp.take inside the sharded
+        # program, so HBM residency works on a mesh there.
         logger.log(event="replay_device_resident_disabled", reason="dp_mesh")
+        warnings.warn("method.replay_device_resident disabled under a DP "
+                      "mesh without data.device_cache (falling back to the "
+                      "host buffer; result-identical)", stacklevel=2)
         dev_replay = False
     if dev_replay:
         from cl_tpu.pallas.replay_gather import DeviceReplayBuffer
@@ -685,22 +879,26 @@ def _train_impl(cfg: Config, logger) -> dict:
     # per task, batches gathered on device — removes the per-step host→HBM
     # put, which dominates e2e time once the step is fast (DESIGN.md §8).
     dev_cache = cfg.data.device_cache
-    if dev_cache and (mesh is not None or smesh is not None):
-        # Same fallback rationale as the replay buffer above; the host
-        # pipeline delivers a bit-identical stream (shared epoch_plan).
-        # Spatial: the fused cached steps embed the unsharded forward, so
-        # running them under smesh would silently train on one shard.
-        logger.log(event="device_cache_disabled",
-                   reason="dp_mesh" if mesh is not None else "spatial_mesh")
+    if dev_cache and smesh is not None:
+        # The host pipeline delivers a bit-identical stream (shared
+        # epoch_plan). Spatial: the fused cached steps embed the unsharded
+        # forward, so running them under smesh would silently train on one
+        # shard. (A DP mesh IS supported: the cache replicates per chip
+        # and the gathered batch reshards onto the data axis in-program.)
+        logger.log(event="device_cache_disabled", reason="spatial_mesh")
+        warnings.warn("data.device_cache disabled under spatial_parallel "
+                      "(falling back to the host pipeline; "
+                      "result-identical)", stacklevel=2)
         dev_cache = False
     caches: dict = {}
     rep_arrays: dict = {}  # per-task device copy of the replay arrays
+    cache_sharding = sharding.replicated(mesh) if mesh is not None else None
 
     def _train_cache(task_id: int):
         if task_id not in caches:
             from cl_tpu.data.device_cache import DeviceDatasetCache
             ds, _ = pipeline.make_datasets(cfg, task_id)
-            caches[task_id] = DeviceDatasetCache(ds)
+            caches[task_id] = DeviceDatasetCache(ds, sharding=cache_sharding)
         return caches[task_id]
 
     if use_replay and mesh is not None:
@@ -744,20 +942,27 @@ def _train_impl(cfg: Config, logger) -> dict:
             if ("val", k) not in caches:
                 from cl_tpu.data.device_cache import DeviceDatasetCache
                 _, val_ds = pipeline.make_datasets(cfg, k)
-                caches[("val", k)] = DeviceDatasetCache(val_ds)
+                caches[("val", k)] = DeviceDatasetCache(
+                    val_ds, sharding=cache_sharding)
             vcache = caches[("val", k)]
             vplan = cached_exec.build_plan(
                 vcache.n, batch_size=cfg.data.batch_size, epoch=0,
                 seed=cfg.data.shuffle_seed + 1000 * k, shuffle=False,
                 flip_prob=0.0, pad_final=True)
-            ev = _cached_step("eval")
             C = cfg.data.num_classes
             conf = jnp.zeros((C, C), jnp.float32)
-            s = jnp.int32(0)
-            for _ in range(vplan.steps):
-                conf, s = ev(conf, s, state.params, state.model_state,
-                             vcache.images, vcache.masks, vplan.idx,
-                             vplan.pad, valid_dev)
+            if cfg.data.epoch_scan and vplan.steps:
+                ev = _cached_step("eval_epoch")
+                conf = ev(conf, state.params, state.model_state,
+                          vcache.images, vcache.masks, vplan.idx,
+                          vplan.pad, valid_dev)
+            else:
+                ev = _cached_step("eval")
+                s = jnp.int32(0)
+                for _ in range(vplan.steps):
+                    conf, s = ev(conf, s, state.params, state.model_state,
+                                 vcache.images, vcache.masks, vplan.idx,
+                                 vplan.pad, valid_dev)
             return eval_result(cfg, conf, k)
 
         if grow:
@@ -808,16 +1013,27 @@ def _train_impl(cfg: Config, logger) -> dict:
                 # first call — that epoch is excluded from steady-state
                 # timing below (the replay path switches "batch"→"buffer"
                 # at task 1, which is a second compile).
-                first_program_use = ("train", mode) not in csteps
-                cstep = _cached_step("train", mode)
-                s = jnp.int32(0)
+                tkind = "train_epoch" if cfg.data.epoch_scan else "train"
+                first_program_use = (tkind, mode) not in csteps
+                cstep = _cached_step(tkind, mode)
                 t_ep = time.perf_counter()
-                for _ in range(plan.steps):
-                    state, aux, s = cstep(
-                        state, s, cache.images, cache.masks, plan.idx,
-                        plan.flip, valid_dev, *rep_args)
-                    losses_dev.append(aux["loss"])
-                    n_steps += 1
+                if cfg.data.epoch_scan:
+                    # ONE dispatch for the whole epoch (lax.scan over the
+                    # plan); per-step losses come back stacked on device.
+                    if plan.steps:
+                        state, auxs = cstep(
+                            state, cache.images, cache.masks, plan.idx,
+                            plan.flip, valid_dev, *rep_args)
+                        losses_dev.append(auxs["loss"])
+                        n_steps = plan.steps
+                else:
+                    s = jnp.int32(0)
+                    for _ in range(plan.steps):
+                        state, aux, s = cstep(
+                            state, s, cache.images, cache.masks, plan.idx,
+                            plan.flip, valid_dev, *rep_args)
+                        losses_dev.append(aux["loss"])
+                        n_steps += 1
             else:
                 src = pipeline.train_batches(cfg, task_id, epoch)
                 if use_replay and not dev_replay:
@@ -888,12 +1104,18 @@ def _train_impl(cfg: Config, logger) -> dict:
                 acc = jax.tree.map(
                     lambda p: jnp.zeros_like(p, jnp.float32), state.params)
                 rng_keys = fisher_rng_keys(state, task_id, nf)
-                fs = _cached_step("fisher")
-                s = jnp.int32(0)
-                for _ in range(nf):
-                    acc, s = fs(acc, s, state.params, state.model_state,
-                                cache.images, cache.masks, fplan.idx,
-                                fplan.flip, valid_dev, rng_keys)
+                if cfg.data.epoch_scan and nf:
+                    fs = _cached_step("fisher_epoch")
+                    acc = fs(acc, state.params, state.model_state,
+                             cache.images, cache.masks, fplan.idx[:nf],
+                             fplan.flip[:nf], valid_dev, rng_keys)
+                else:
+                    fs = _cached_step("fisher")
+                    s = jnp.int32(0)
+                    for _ in range(nf):
+                        acc, s = fs(acc, s, state.params, state.model_state,
+                                    cache.images, cache.masks, fplan.idx,
+                                    fplan.flip, valid_dev, rng_keys)
                 fisher_new = jax.tree.map(lambda a: a / max(nf, 1), acc)
             else:
                 fisher_new = run_fisher_pass(cfg, fisher_step, state,

@@ -44,18 +44,23 @@ def test_cached_run_reports_identical_results():
                                   np.asarray(base["miou_matrix"]))
 
 
-def test_device_cache_falls_back_under_mesh(eight_devices):
-    # The cache is unsharded; under DP it must fall back to the (bit-
-    # identical) host pipeline instead of failing — presets enable the
-    # cache for single-device rungs and must still run on a mesh.
+def test_device_cache_under_mesh_matches_single_device(eight_devices):
+    # DP-compatible HBM input tier (VERDICT round-1 item 4): the cache
+    # replicates per chip and the plan-gathered batch reshards onto the
+    # data axis in-program. The 8-device trajectory must match the
+    # single-device one (gradient all-reduce reassociates f32 sums, so
+    # allclose — mIoU is argmax-based and lands exactly equal in practice).
     from cl_tpu.train import train
 
-    # replay_batch=4 -> widened batch 12 not divisible by 8: run without
-    # replay so the fallback itself is what's under test.
-    res = train(_cfg(["data.device_cache=true", "train.data_parallel=true",
-                      "data.batch_size=8", "method.methods=ewc",
-                      "method.replay_device_resident=true"]))
-    assert np.isfinite(res["mean_final_miou"])
+    ov = ["data.device_cache=true", "data.batch_size=8",
+          "method.methods=ewc,lwf,replay", "method.replay_batch=8",
+          "method.replay_device_resident=true",
+          "data.train_images_per_task=16"]
+    dp = train(_cfg(ov + ["train.data_parallel=true"]))
+    single = train(_cfg(ov))
+    np.testing.assert_allclose(
+        np.asarray(dp["final_per_task_miou"]),
+        np.asarray(single["final_per_task_miou"]), atol=5e-3)
 
 
 def test_cached_all_methods_run_identical_with_padded_eval():
@@ -98,6 +103,26 @@ def test_sampled_fisher_identical_across_input_paths():
     base = train(_cfg(ov))
     cached = train(_cfg(ov + ["data.device_cache=true"]))
     assert cached["final_per_task_miou"] == base["final_per_task_miou"]
+
+
+def test_epoch_scan_identical_to_per_step_dispatch():
+    # ONE-dispatch-per-epoch (lax.scan over the plan, the default) must
+    # reproduce the per-step-dispatch path exactly — same ops, different
+    # dispatch granularity. All three methods + HBM replay + padded eval.
+    from cl_tpu.train import train
+
+    ov = ["data.num_classes=5", "train.num_tasks=2",
+          "method.methods=ewc,lwf,replay", "data.batch_size=4",
+          "method.replay_batch=2", "data.train_images_per_task=8",
+          "data.val_images_per_task=6", "data.device_cache=true",
+          "method.replay_device_resident=true"]
+    per_step = train(_cfg(ov + ["data.epoch_scan=false"]))
+    scanned = train(_cfg(ov))  # epoch_scan defaults true
+    assert scanned["final_per_task_miou"] == per_step["final_per_task_miou"]
+    np.testing.assert_array_equal(np.asarray(scanned["miou_matrix"]),
+                                  np.asarray(per_step["miou_matrix"]))
+    # dispatch granularity is operational, not a trajectory change
+    assert scanned["config_hash"] == per_step["config_hash"]
 
 
 def test_device_cache_replay_smaller_than_batch_runs():
