@@ -10,6 +10,13 @@ SURVEY.md §4.6; synthetic data is the default for all acceptance configs):
 Images are host-decoded to uint8 at ``source_size`` (PIL if available,
 else raw .npy files), then follow the same device-side fused augmentation
 path as synthetic data.
+
+Aspect-ratio contract: non-square sources are SQUASHED to
+``source_size``² — separate half-pixel coefficient maps per axis, the
+same semantics as a torchvision ``Resize((S, S))`` (masks via nearest so
+class ids survive). No letterboxing/cropping: the reference genre trains
+on fixed square resize, and squashing keeps every labeled pixel
+(tests/unit/test_directory.py::test_non_square_sources_squash_to_square).
 """
 
 from __future__ import annotations

