@@ -7,7 +7,12 @@ Prints ONE JSON line:
 
 The torch-CPU baseline is measured once on this host and cached in
 ``.bench_baseline.json`` (keyed by a benchmark-shape hash); delete the file
-to re-measure. ``--small`` runs a 128² variant for quick checks.
+to re-measure. Flags:
+    --small        128² variant for quick checks
+    --methods      config-5 step (EWC+LwF+replay active, widened batch)
+    --batch=N      override the per-chip batch (default 8; torch baseline
+                   re-measured at the same batch for a fair ratio)
+    --remeasure    refresh the cached torch baseline
 """
 
 from __future__ import annotations
@@ -34,21 +39,29 @@ STEPS = 100
 TORCH_STEPS = 5
 
 
-def _shape_key(img: int) -> str:
-    return f"unet{BASE_CH}_c{CLASSES}_b{BATCH}_i{img}"
+def _shape_key(img: int, batch: int, methods: bool) -> str:
+    k = f"unet{BASE_CH}_c{CLASSES}_b{batch}_i{img}"
+    return k + "_methods" if methods else k
 
 
-def _host_batches(img: int, src: int, n: int):
+def _host_batches(img: int, src: int, n: int, batch: int,
+                  methods: bool = False):
     """Deterministic uint8 batches shared by both frameworks."""
     from cl_tpu.config import parse_overrides
     from cl_tpu.data import pipeline
 
-    cfg = parse_overrides([
+    over = [
         f"data.num_classes={CLASSES}", f"data.image_size={img}",
-        f"data.source_size={src}", f"data.batch_size={BATCH}",
-        f"data.train_images_per_task={BATCH * 4}",
+        f"data.source_size={src}", f"data.batch_size={batch}",
+        f"data.train_images_per_task={batch * 4}",
         f"model.base_channels={BASE_CH}",
-    ])
+    ]
+    if methods:
+        # config-5 method set; 1 replay row per 8 fresh (64+8 over v5e-8,
+        # BASELINE.json:11) — the replay widening is applied by the caller.
+        over += ["method.methods=ewc,lwf,replay",
+                 f"method.replay_batch={max(1, batch // 8)}"]
+    cfg = parse_overrides(over)
     out = []
     it = pipeline.train_batches(cfg, 0, epoch=0)
     while len(out) < n:
@@ -60,19 +73,61 @@ def _host_batches(img: int, src: int, n: int):
     return cfg, out
 
 
-def bench_jax(img: int, src: int) -> float:
+def _widen(b, k, rng):
+    """Replay-widen a HostBatch with k duplicated rows (shape-faithful to
+    the config-5 step; content doesn't matter for speed)."""
+    import numpy as np
+
+    from cl_tpu.data import pipeline
+
+    idx = rng.randint(0, b.image.shape[0], size=k)
+    return pipeline.HostBatch(
+        image=np.concatenate([b.image, b.image[idx]]),
+        mask=np.concatenate([b.mask, b.mask[idx]]),
+        flip=np.concatenate([b.flip, b.flip[idx]]))
+
+
+def _arm_method_state(cfg, state, model):
+    """Make EWC and LwF ACTIVE (weight=1) so the step carries the real
+    config-5 work: penalty over a consolidated Fisher + teacher forward +
+    KD. Fisher content is synthetic (|θ|²-scaled ones); speed-only."""
+    import jax
+    import jax.numpy as jnp
+
+    from cl_tpu.data import tasks as task_lib
+    from cl_tpu.methods import ewc as ewc_lib, lwf as lwf_lib
+
+    valid = jnp.asarray(task_lib.valid_class_mask(
+        CLASSES, task_lib.seen_classes(cfg.classes_per_task, 0)))
+    fisher = jax.tree.map(
+        lambda p: jnp.ones_like(p, jnp.float32), state.params)
+    state = state.replace(ewc=ewc_lib.ewc_after_task(
+        state.ewc, state.params, fisher, mode=cfg.method.ewc_mode,
+        gamma=cfg.method.ewc_gamma, task_id=0))
+    state = state.replace(lwf=lwf_lib.lwf_after_task(
+        state.lwf, {"params": state.params, **state.model_state}, valid))
+    return state
+
+
+def bench_jax(img: int, src: int, batch: int, methods: bool) -> float:
+    import numpy as np
     import jax.numpy as jnp
 
     from cl_tpu import train as train_lib
     from cl_tpu.data import pipeline, tasks as task_lib
 
-    cfg, host = _host_batches(img, src, 4)
+    cfg, host = _host_batches(img, src, 4, batch, methods)
     cfg = cfg.replace(train=cfg.train.__class__(
         **{**cfg.train.__dict__, "compute_dtype": "bfloat16",
            "data_parallel": False}))
+    if methods:
+        rng = np.random.RandomState(7)
+        host = [_widen(b, cfg.method.replay_batch, rng) for b in host]
     model = train_lib.build_model(cfg)
     tx = train_lib.build_optimizer(cfg)
     state = train_lib.init_state(cfg, model, tx)
+    if methods:
+        state = _arm_method_state(cfg, state, model)
     step = train_lib.make_train_step(cfg, model, tx, mesh=None)
     valid = jnp.asarray(task_lib.valid_class_mask(
         CLASSES, task_lib.seen_classes(cfg.classes_per_task, 0)))
@@ -89,50 +144,71 @@ def bench_jax(img: int, src: int) -> float:
         state, aux = step(state, dev[i % len(dev)], valid)
     float(aux["loss"])  # aux depends on the full state chain
     dt = (time.perf_counter() - t0) / STEPS
-    return BATCH / dt  # images/sec on this one chip
+    return dev[0].image.shape[0] / dt  # images/sec on this one chip
 
 
-def bench_torch(img: int, src: int) -> float:
+def bench_torch(img: int, src: int, batch: int, methods: bool) -> float:
+    import numpy as np
     import torch
 
     from cl_tpu.data import tasks as task_lib
     from reference_impl.train import _to_torch
-    from reference_impl.methods import cross_entropy
+    from reference_impl.methods import EWC, LwF, cross_entropy
     from reference_impl.unet import UNet
 
-    cfg, host = _host_batches(img, src, 3)
+    cfg, host = _host_batches(img, src, 3, batch, methods)
     torch.manual_seed(0)
     model = UNet(CLASSES, BASE_CH, 4)
     opt = torch.optim.Adam(model.parameters(), lr=1e-3)
     valid = torch.from_numpy(task_lib.valid_class_mask(
         CLASSES, task_lib.seen_classes(cfg.classes_per_task, 0)))
     model.train()
+    ewc = lwf = None
+    if methods:
+        rng = np.random.RandomState(7)
+        host = [_widen(b, cfg.method.replay_batch, rng) for b in host]
+        ewc = EWC(mode=cfg.method.ewc_mode)
+        ewc.after_task(model, {n: torch.ones_like(p) for n, p in
+                               model.named_parameters()})
+        lwf = LwF(temperature=cfg.method.lwf_temperature)
+        lwf.after_task(model, valid)
 
     def one(b):
         x, y = _to_torch(b, cfg)
-        loss = cross_entropy(model(x), y, valid)
+        logits = model(x)
+        loss = cross_entropy(logits, y, valid)
+        if methods:
+            loss = loss + cfg.method.ewc_lambda * ewc.penalty(model)
+            loss = loss + cfg.method.lwf_alpha * lwf.distill_loss(
+                logits, x, y, cfg.data.ignore_index)
         opt.zero_grad()
         loss.backward()
         opt.step()
 
     one(host[0])  # warmup
+    n_img = host[0].image.shape[0]
     t0 = time.perf_counter()
     for i in range(TORCH_STEPS):
         one(host[i % len(host)])
     dt = (time.perf_counter() - t0) / TORCH_STEPS
-    return BATCH / dt
+    return n_img / dt
 
 
 def main() -> int:
     img, src = (128, 160) if "--small" in sys.argv else (IMG, SRC)
-    key = _shape_key(img)
+    methods = "--methods" in sys.argv
+    batch = BATCH
+    for a in sys.argv:
+        if a.startswith("--batch="):
+            batch = int(a.split("=", 1)[1])
+    key = _shape_key(img, batch, methods)
 
     cache = {}
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             cache = json.load(f)
     if key not in cache or "--remeasure" in sys.argv:
-        cache[key] = bench_torch(img, src)
+        cache[key] = bench_torch(img, src, batch, methods)
         with open(CACHE, "w") as f:
             json.dump(cache, f)
     baseline = cache[key]
@@ -143,16 +219,18 @@ def main() -> int:
     _TRANSIENT = ("FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED",
                   "INTERNAL")
     try:
-        value = bench_jax(img, src)
+        value = bench_jax(img, src, batch, methods)
     except Exception as e:
         if not any(s in str(e) for s in _TRANSIENT):
             raise
         print(f"# bench_jax failed ({type(e).__name__}: {e}); retrying once",
               file=sys.stderr)
         time.sleep(10)
-        value = bench_jax(img, src)
+        value = bench_jax(img, src, batch, methods)
+    suffix = "_methods" if methods else ""
     print(json.dumps({
-        "metric": f"train_images_per_sec_per_chip_unet{BASE_CH}_{img}px_bf16",
+        "metric": (f"train_images_per_sec_per_chip_unet{BASE_CH}_{img}px"
+                   f"_bf16{suffix}"),
         "value": round(value, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(value / baseline, 2),
