@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test test-fast test-tpu bench ladder native clean
+.PHONY: test test-fast test-tpu bench ladder native clean round
 
 test:            ## full CPU suite (8 virtual devices)
 	$(PY) -m pytest tests/ -q
@@ -19,6 +19,13 @@ bench:           ## headline images/sec/chip JSON line
 
 ladder:          ## acceptance ladder vs the torch oracle (quick shapes)
 	$(PY) benchmarks/run.py --quick --torch
+
+round:           ## per-round gate: CPU suite, then the on-chip suite
+	             ## (recorded to benchmarks/tpu_suite_last.txt), then bench.
+	             ## Run benchmarks ALONE — host contention skews chip numbers.
+	$(PY) -m pytest tests/ -q
+	CL_TPU_TESTS=1 $(PY) -m pytest tests/tpu/ -q 2>&1 | tee benchmarks/tpu_suite_last.txt
+	$(PY) bench.py
 
 native:          ## (re)build the C++ host rasterizer
 	rm -rf cl_tpu/native/_build && $(PY) -c "from cl_tpu import native; assert native.available(), native.load_error()"

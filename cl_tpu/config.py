@@ -79,7 +79,10 @@ class MethodConfig:
     # Replay (SURVEY.md §2.1 "Replay")
     replay_capacity: int = 64  # total images in buffer
     replay_batch: int = 4  # replay samples mixed into each step's batch
-    replay_device_resident: bool = False  # HBM-resident buffer (<=256² only)
+    # HBM-resident replay buffer (replicated per chip under DP). At the
+    # default capacity 64 it is ~50 MB even at 512²; mind HBM only for
+    # large capacities at large resolutions.
+    replay_device_resident: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -240,12 +243,16 @@ def _preset_baseline_5() -> Config:
     return Config(
         data=DataConfig(dataset="synthetic_native", num_classes=19, image_size=512,
                         source_size=576, batch_size=64,  # 8 per chip on v5e-8
-                        train_images_per_task=256, val_images_per_task=64),
+                        train_images_per_task=256, val_images_per_task=64,
+                        device_cache=True),
         model=ModelConfig(base_channels=32),
         # replay_batch=8: the replay-widened batch (64+8) must shard evenly
         # over the 8-chip mesh (train() checks batch+replay_batch).
+        # Both HBM residency tiers are on: under the DP mesh the dataset
+        # cache and replay buffer replicate per chip and the plan-gathered
+        # batch reshards in-program (no per-step host->device traffic).
         method=MethodConfig(methods=("ewc", "lwf", "replay"),
-                            replay_batch=8),
+                            replay_batch=8, replay_device_resident=True),
         train=TrainConfig(num_tasks=5, epochs_per_task=2,
                           compute_dtype="bfloat16", data_parallel=True),
     )

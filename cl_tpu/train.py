@@ -1166,12 +1166,21 @@ def _train_impl(cfg: Config, logger, init_variables=None) -> dict:
 
 def evaluate(cfg: Config, state: TrainState, task_id: int,
              seen_task: int | None = None) -> dict:
-    """Public eval API (SURVEY.md §1 L4: ``evaluate(model, loader, task)``)."""
+    """Public eval API (SURVEY.md §1 L4: ``evaluate(model, loader, task)``).
+
+    Honors ``train.data_parallel`` exactly like ``train()``: on a multi-
+    device host the val batch shards over the DP mesh and the confusion
+    matrix psums across it."""
+    mesh = None
+    if cfg.train.data_parallel and len(jax.devices()) > 1:
+        mesh = sharding.make_mesh()
+        sharding.check_divisible(cfg.data.batch_size, mesh)
     width = state.params["head"]["kernel"].shape[-1]
     model = build_model(
         cfg, head_width=width if width != cfg.data.num_classes else None)
-    eval_step = make_eval_step(cfg, model)
+    eval_step = make_eval_step(cfg, model, mesh=mesh)
     seen_task = task_id if seen_task is None else seen_task
     seen = task_lib.seen_classes(cfg.classes_per_task, seen_task)
     seen_valid = task_lib.valid_class_mask(cfg.data.num_classes, seen)
-    return evaluate_task(cfg, eval_step, state, task_id, seen_valid)
+    return evaluate_task(cfg, eval_step, state, task_id, seen_valid,
+                         mesh=mesh)
