@@ -32,7 +32,7 @@ PEAK_TFLOPS, PEAK_GBS = 197.0, 819.0
 CATEGORIES = [
     ("convolution", re.compile(r"convolution|conv_general|%conv")),
     ("reduce (BN stats/grads)", re.compile(r"reduce|all-reduce")),
-    ("fusion (elementwise)", re.compile(r"^(loop_)?fusion")),
+    ("fusion (conv+elementwise)", re.compile(r"^(loop_)?fusion")),
     ("copy/transpose/layout", re.compile(r"copy|transpose|bitcast|reshape")),
     ("pallas custom-call", re.compile(r"custom-call|tpu_custom_call")),
     ("scatter/gather", re.compile(r"scatter|gather|dynamic-slice|"
@@ -63,10 +63,15 @@ def parse_trace(trace_dir: str) -> dict:
     tpu_pids = {pid for pid, n in pnames.items()
                 if "TPU" in n or "/device" in n.lower()}
     per_op: dict[str, float] = {}
+    # Parent/container events (the jit_step region and the bare-digit
+    # module lanes) span the whole step and would double-count every op.
+    parent = re.compile(r"^(jit_|\d+$)")
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in tpu_pids:
             continue
         name = e.get("name", "?")
+        if parent.match(name):
+            continue
         per_op[name] = per_op.get(name, 0.0) + e.get("dur", 0.0)
     per_cat: dict[str, float] = {}
     for name, us in per_op.items():
