@@ -59,6 +59,11 @@ class ModelConfig:
     # bounds jit recompiles to 1 instead of T. Set False for the
     # grow-the-head variant (recompiles once per task).
     padded_head: bool = True
+    # 3x3-conv implementation: "xla" = lax conv; "pallas" = the
+    # lane-packed kernel (pallas/conv3x3.py) on supported shapes, which
+    # restores MXU lane occupancy for the small-channel 512²/256² levels
+    # (DESIGN.md §8). Unsupported shapes fall back to XLA per-layer.
+    conv_impl: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

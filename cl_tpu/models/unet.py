@@ -30,19 +30,81 @@ import jax
 import jax.numpy as jnp
 
 
+class Conv3x3(nn.Module):
+    """3×3 SAME no-bias conv with a selectable implementation.
+
+    ``conv_impl="pallas"`` routes supported shapes through the
+    lane-packed Pallas kernel (`cl_tpu/pallas/conv3x3.py`, DESIGN.md §8);
+    everything else (and ``"xla"``) uses the plain lax conv. The param
+    tree (``kernel``, f32, lecun-normal) is identical either way, so
+    checkpoints and the torch-parity importer are impl-agnostic."""
+
+    features: int
+    conv_impl: str = "xla"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, c_in, self.features), jnp.float32)
+        k = kernel.astype(self.dtype)
+        x = x.astype(self.dtype)
+        if self.conv_impl == "pallas":
+            from cl_tpu.pallas import conv3x3 as pc
+            if pc.supported(x.shape[1], x.shape[2], c_in, self.features):
+                return pc.conv3x3(x, k)
+        return jax.lax.conv_general_dilated(
+            x, k, window_strides=(1, 1), padding="SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+class UpConv2x2(nn.Module):
+    """k=2/s=2 transposed conv as matmul + pixel shuffle.
+
+    With no kernel overlap, every output pixel (2h+a, 2w+b) is a single
+    tap: y = x @ K[a,b] + bias. Writing it as one [B·H·W, Cin]×[Cin,
+    4·Cout] einsum plus a (h,w,a,b)→(h,a,w,b) pixel-shuffle transpose
+    keeps the MXU fed (contraction Cin, 4·Cout lanes) instead of XLA's
+    transposed-conv emitter (~10× slower at the 512² level, DESIGN.md
+    §8). Param tree (kernel [2,2,Cin,Cout], bias) and init match
+    nn.ConvTranspose, so checkpoints/importer are impl-agnostic."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2, 2, c_in, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        x = x.astype(self.dtype)
+        b, h, w, _ = x.shape
+        # lax.conv_transpose places the SPATIALLY FLIPPED kernel at each
+        # output site (verified exact vs nn.ConvTranspose): tap (u,v) of
+        # output (2h+u, 2w+v) is K[1-u, 1-v].
+        k = jnp.flip(kernel.astype(self.dtype), (0, 1))
+        t = jnp.einsum("nhwc,uvco->nhwuvo", x, k)
+        y = t.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, 2 * h, 2 * w, self.features)
+        return y + bias.astype(self.dtype)
+
+
 class DoubleConv(nn.Module):
     """(conv3x3 → norm → ReLU) × 2."""
 
     features: int
     norm: str = "batch"
     dtype: Any = jnp.float32
+    conv_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         for i in range(2):
-            x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
-                        dtype=self.dtype, param_dtype=jnp.float32,
-                        name=f"conv{i}")(x)
+            x = Conv3x3(self.features, conv_impl=self.conv_impl,
+                        dtype=self.dtype, name=f"conv{i}")(x)
             if self.norm == "batch":
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype,
@@ -64,6 +126,7 @@ class UNet(nn.Module):
     norm: str = "batch"
     dtype: Any = jnp.float32
     head_width: int | None = None  # None => num_classes (padded head)
+    conv_impl: str = "xla"  # "pallas" = lane-packed kernel (DESIGN.md §8)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -73,23 +136,31 @@ class UNet(nn.Module):
         skips = []
         for level in range(self.depth):
             x = DoubleConv(c * (2 ** level), norm=self.norm, dtype=self.dtype,
+                           conv_impl=self.conv_impl,
                            name=f"enc{level}")(x, train=train)
             skips.append(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
         x = DoubleConv(c * (2 ** self.depth), norm=self.norm, dtype=self.dtype,
+                       conv_impl=self.conv_impl,
                        name="bottleneck")(x, train=train)
 
         for level in reversed(range(self.depth)):
             feats = c * (2 ** level)
             # k=2 / s=2 transposed conv: clean 2× upsample, no overlap
             # (SURVEY.md §7 "ConvTranspose parity").
-            x = nn.ConvTranspose(feats, (2, 2), strides=(2, 2),
-                                 padding="VALID", use_bias=True,
-                                 dtype=self.dtype, param_dtype=jnp.float32,
-                                 name=f"up{level}")(x)
+            if self.conv_impl == "pallas":
+                x = UpConv2x2(feats, dtype=self.dtype,
+                              name=f"up{level}")(x)
+            else:
+                x = nn.ConvTranspose(feats, (2, 2), strides=(2, 2),
+                                     padding="VALID", use_bias=True,
+                                     dtype=self.dtype,
+                                     param_dtype=jnp.float32,
+                                     name=f"up{level}")(x)
             x = jnp.concatenate([skips[level], x], axis=-1)
             x = DoubleConv(feats, norm=self.norm, dtype=self.dtype,
+                           conv_impl=self.conv_impl,
                            name=f"dec{level}")(x, train=train)
 
         width = self.head_width or self.num_classes

@@ -75,7 +75,8 @@ def build_model(cfg: Config, head_width: int | None = None) -> UNet:
     return UNet(num_classes=cfg.data.num_classes,
                 base_channels=cfg.model.base_channels,
                 depth=cfg.model.depth, norm=cfg.model.norm,
-                dtype=_dtype(cfg), head_width=head_width)
+                dtype=_dtype(cfg), head_width=head_width,
+                conv_impl=cfg.model.conv_impl)
 
 
 def task_head_width(cfg: Config, task_id: int) -> int:

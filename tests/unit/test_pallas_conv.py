@@ -1,0 +1,118 @@
+"""Lane-packed Pallas 3×3 conv vs the lax oracle (interpret mode on CPU).
+
+Covers every pack factor (P=4/2/1 via C_out=32/64/128), forward and both
+backward passes (dx through the flipped-kernel forward, dW through the
+grid-accumulated reduce kernel), bf16, and the weight pack/fold round
+trip. SURVEY.md §4.1: kernels run under interpret=True vs a pure-jnp
+oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cl_tpu.pallas import conv3x3 as pc
+
+
+def _rand(shape, dtype=jnp.float32, seed=0):
+    return jnp.asarray(
+        np.random.RandomState(seed).randn(*shape).astype(np.float32)
+    ).astype(dtype)
+
+
+@pytest.mark.parametrize("c_out,p", [(32, 4), (64, 2), (128, 1)])
+def test_forward_matches_lax(c_out, p):
+    assert pc.pick_pack(c_out) == p
+    x = _rand((2, 8, 8, 16))
+    w = _rand((3, 3, 16, c_out), seed=1)
+    got = pc.conv3x3(x, w)
+    want = pc.conv3x3_reference(x, w)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_forward_rectangular_and_odd_rows():
+    x = _rand((1, 6, 16, 8))  # th won't divide evenly until picked
+    w = _rand((3, 3, 8, 32), seed=2)
+    np.testing.assert_allclose(pc.conv3x3(x, w),
+                               pc.conv3x3_reference(x, w),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("c_in,c_out", [(8, 32), (16, 64)])
+def test_grads_match_lax(c_in, c_out):
+    x = _rand((2, 8, 8, c_in), seed=3)
+    w = _rand((3, 3, c_in, c_out), seed=4)
+    cot = _rand((2, 8, 8, c_out), seed=5)  # fixed cotangent
+
+    def loss(fn):
+        def f(x, w):
+            return jnp.sum(fn(x, w) * cot)
+        return f
+
+    gx, gw = jax.grad(loss(pc.conv3x3), argnums=(0, 1))(x, w)
+    rx, rw = jax.grad(loss(pc.conv3x3_reference), argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(gx, rx, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(gw, rw, atol=1e-4, rtol=1e-4)
+
+
+def test_bf16_forward_close():
+    x = _rand((1, 8, 8, 16), jnp.bfloat16, seed=6)
+    w = _rand((3, 3, 16, 32), jnp.bfloat16, seed=7)
+    got = pc.conv3x3(x, w).astype(jnp.float32)
+    want = pc.conv3x3_reference(x, w).astype(jnp.float32)
+    # bf16 inputs, f32 accumulation both sides; only I/O rounding differs.
+    np.testing.assert_allclose(got, want, atol=3e-2, rtol=3e-2)
+
+
+def test_pack_fold_roundtrip():
+    w = _rand((3, 3, 8, 32), seed=8)
+    p = 4
+    wp = pc.pack_weights(w, p)
+    # fold(pack) multiplies each tap by its pack multiplicity⁻¹?  No —
+    # fold sums over j, and pack writes each tap once per j, so
+    # fold(pack(w)) = p * w only where all P copies exist. Check the
+    # actual contract instead: packed conv == reference conv (covered
+    # above); here just check shapes and zero-structure.
+    assert wp.shape == (3 * (p + 2) * 8, p * 32)
+    wp5 = np.asarray(wp).reshape(3, p + 2, 8, p, 32)
+    for v6 in range(p + 2):
+        for j in range(p):
+            blk = wp5[:, v6, :, j, :]
+            if 0 <= v6 - j <= 2:
+                assert np.abs(blk).max() > 0
+            else:
+                assert np.abs(blk).max() == 0
+
+
+def test_supported_gate():
+    assert pc.supported(512, 512, 32, 32)
+    assert pc.supported(256, 256, 64, 64)
+    assert not pc.supported(512, 512, 3, 32)   # RGB stem -> XLA
+    assert not pc.supported(8, 6, 32, 32)      # W not divisible by P=4
+
+
+def test_unet_pallas_impl_matches_xla():
+    """Whole-model gate: same variables, same logits (interpret on CPU)."""
+    from cl_tpu.models.unet import UNet, init_variables
+
+    mx = UNet(num_classes=5, base_channels=8, depth=2, conv_impl="xla")
+    mp = UNet(num_classes=5, base_channels=8, depth=2, conv_impl="pallas")
+    rng = jax.random.PRNGKey(0)
+    vs = init_variables(mx, rng, image_size=16, batch_size=2)
+    x = _rand((2, 16, 16, 3), seed=9)
+    lx = mx.apply(vs, x, train=False)
+    lp = mp.apply(vs, x, train=False)
+    np.testing.assert_allclose(lp, lx, atol=1e-4, rtol=1e-4)
+
+    # and the training grads agree through BN + the custom VJP
+    def loss(m):
+        def f(params):
+            out, _ = m.apply({**vs, "params": params}, x, train=True,
+                             mutable=["batch_stats"])
+            return jnp.sum(out ** 2)
+        return f
+
+    gx = jax.grad(loss(mx))(vs["params"])
+    gp = jax.grad(loss(mp))(vs["params"])
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        a, b, atol=5e-3, rtol=1e-3), gx, gp)
