@@ -12,6 +12,8 @@ to re-measure. Flags:
     --methods      config-5 step (EWC+LwF+replay active, widened batch)
     --batch=N      override the per-chip batch (default 8; torch baseline
                    re-measured at the same batch for a fair ratio)
+    --conv=IMPL    model.conv_impl for the jax side (xla | pallas); the
+                   torch baseline is impl-independent so the cache is shared
     --remeasure    refresh the cached torch baseline
 """
 
@@ -109,7 +111,8 @@ def _arm_method_state(cfg, state, model):
     return state
 
 
-def bench_jax(img: int, src: int, batch: int, methods: bool) -> float:
+def bench_jax(img: int, src: int, batch: int, methods: bool,
+              conv_impl: str = "xla") -> float:
     import numpy as np
     import jax.numpy as jnp
 
@@ -120,6 +123,9 @@ def bench_jax(img: int, src: int, batch: int, methods: bool) -> float:
     cfg = cfg.replace(train=cfg.train.__class__(
         **{**cfg.train.__dict__, "compute_dtype": "bfloat16",
            "data_parallel": False}))
+    if conv_impl != "xla":
+        cfg = cfg.replace(model=cfg.model.__class__(
+            **{**cfg.model.__dict__, "conv_impl": conv_impl}))
     if methods:
         rng = np.random.RandomState(7)
         host = [_widen(b, cfg.method.replay_batch, rng) for b in host]
@@ -198,9 +204,12 @@ def main() -> int:
     img, src = (128, 160) if "--small" in sys.argv else (IMG, SRC)
     methods = "--methods" in sys.argv
     batch = BATCH
+    conv_impl = "xla"
     for a in sys.argv:
         if a.startswith("--batch="):
             batch = int(a.split("=", 1)[1])
+        if a.startswith("--conv="):
+            conv_impl = a.split("=", 1)[1]
     key = _shape_key(img, batch, methods)
 
     cache = {}
@@ -219,15 +228,16 @@ def main() -> int:
     _TRANSIENT = ("FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED",
                   "INTERNAL")
     try:
-        value = bench_jax(img, src, batch, methods)
+        value = bench_jax(img, src, batch, methods, conv_impl)
     except Exception as e:
         if not any(s in str(e) for s in _TRANSIENT):
             raise
         print(f"# bench_jax failed ({type(e).__name__}: {e}); retrying once",
               file=sys.stderr)
         time.sleep(10)
-        value = bench_jax(img, src, batch, methods)
-    suffix = "_methods" if methods else ""
+        value = bench_jax(img, src, batch, methods, conv_impl)
+    suffix = ("_methods" if methods else "") + (
+        f"_{conv_impl}conv" if conv_impl != "xla" else "")
     print(json.dumps({
         "metric": (f"train_images_per_sec_per_chip_unet{BASE_CH}_{img}px"
                    f"_bf16{suffix}"),

@@ -96,20 +96,32 @@ def main() -> int:
                         "of each preset (e.g. data.device_cache=true)")
     args = p.parse_args()
 
+    try:
+        rev = os.popen("git -C %s rev-parse --short HEAD"
+                       % os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__)))).read().strip()
+    except OSError:
+        rev = ""
+
     results = []
+    blob = "[]"
     for c in args.configs.split(","):
         name = f"baseline_{c.strip()}"
         print(f"== {name} ==", file=sys.stderr)
         results.append(run_config(name, quick=args.quick,
                                   with_torch=args.torch,
                                   overrides=args.overrides))
+        if rev:
+            results[-1]["git_rev"] = rev
         if args.overrides:
             results[-1]["overrides"] = args.overrides
         print(json.dumps(results[-1], default=float), file=sys.stderr)
-    blob = json.dumps(results, default=float, indent=1)
-    if args.out:
-        with open(args.out, "w") as f:
-            f.write(blob)
+        # Flush after every rung: a crash on a later config (e.g. an HBM
+        # OOM at a bigger shape) must not lose the finished rows.
+        blob = json.dumps(results, default=float, indent=1)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(blob)
     print(blob)
     return 0
 
