@@ -1,0 +1,86 @@
+"""Per-UNet-level 3x3 conv microbenchmark: XLA emitter vs the lane-packed
+Pallas kernel (fwd and fwd+bwd), on the real chip.
+
+Usage: python benchmarks/conv_micro.py [--bwd]
+Prints one JSON line per (level, impl).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cl_tpu.pallas import conv3x3 as pc
+
+B = 8
+# (H, W, Cin, Cout) for every distinct conv shape in UNet-32 @ 512**2
+# (enc convs, dec convs after skip-concat; the RGB stem is XLA-only).
+SHAPES = [
+    ("enc0b", 512, 512, 32, 32),
+    ("enc1a", 256, 256, 32, 64),
+    ("enc1b", 256, 256, 64, 64),
+    ("enc2a", 128, 128, 64, 128),
+    ("enc2b", 128, 128, 128, 128),
+    ("enc3a", 64, 64, 128, 256),
+    ("enc3b", 64, 64, 256, 256),
+    ("bot_a", 32, 32, 256, 512),
+    ("bot_b", 32, 32, 512, 512),
+    ("dec0a", 512, 512, 64, 32),
+]
+
+
+def timeit(f, *args, n=20):
+    out = f(*args)
+    jax.tree.map(lambda a: a.block_until_ready(), out)
+    # loss-fetch sync (relay-safe): chain a scalar through the outputs
+    s = float(jnp.sum(out[0] if isinstance(out, tuple) else out)[...])
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = f(*args)
+    s = float(jnp.sum(out[0] if isinstance(out, tuple) else out)[...])
+    _ = s
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    bwd = "--bwd" in sys.argv
+    for name, h, w, ci, co in SHAPES:
+        x = jnp.asarray(np.random.RandomState(0)
+                        .randn(B, h, w, ci).astype(np.float32),
+                        jnp.bfloat16)
+        k = jnp.asarray(np.random.RandomState(1)
+                        .randn(3, 3, ci, co).astype(np.float32) * 0.05,
+                        jnp.bfloat16)
+        flops = 2 * B * h * w * 9 * ci * co
+        if bwd:
+            flops *= 3
+
+            def run(fn):
+                def g(x, k):
+                    def loss(x, k):
+                        return jnp.sum(fn(x, k).astype(jnp.float32) ** 2)
+                    return jax.grad(loss, argnums=(0, 1))(x, k)
+                return jax.jit(g)
+        else:
+            def run(fn):
+                return jax.jit(fn)
+
+        row = {"conv": name, "shape": [B, h, w, ci, co], "bwd": bwd}
+        t = timeit(run(pc.conv3x3_reference), x, k)
+        row["xla_ms"] = round(t * 1e3, 3)
+        row["xla_tf"] = round(flops / t / 1e12, 1)
+        if pc.supported(h, w, ci, co):
+            t = timeit(run(pc.conv3x3), x, k)
+            row["pallas_ms"] = round(t * 1e3, 3)
+            row["pallas_tf"] = round(flops / t / 1e12, 1)
+            row["p"] = pc.pick_pack(co)
+        print(json.dumps(row), flush=True)
+
+
+if __name__ == "__main__":
+    main()

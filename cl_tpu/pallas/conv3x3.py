@@ -93,61 +93,87 @@ def _fold_dw(dwp: jax.Array, p: int, c_in: int, c_out: int) -> jax.Array:
     return jnp.stack(cols, axis=1)  # [3,3,Cin,Cout]
 
 
-def _build_patch(xs, th: int, wg: int, c_in: int, p: int):
-    """Patch [th·wg, 3(P+2)·Cin] from a [th+2, wg+2, P·Cin] halo slab.
+def _window_pack(x: jax.Array, p: int) -> jax.Array:
+    """[B, H, W, Cin] → overlapped union windows [B, H, W/p, (P+2)·Cin].
 
-    Per kernel row u the (P+2)-wide union window is exactly: the last
-    c_in lanes of group g−1, all P·c_in of group g, the first c_in of
-    group g+1 — three shifted slices, one lane concat."""
+    xw[..., g, :] is the flat row slice [g·P·Cin − Cin, (g+1)·P·Cin + Cin):
+    the last fine column of group g−1, group g itself, and the first fine
+    column of group g+1 (zeros at the row edges). Materializing the
+    overlap OUTSIDE the kernel costs (p+2)/p × the input bytes in HBM —
+    ~0.3 ms of the ~3 ms the 512² conv costs XLA — and buys a kernel with
+    ZERO in-kernel assembly: Mosaic's lane-boundary concatenate (the
+    first-generation design) either refused to compile ("result/input
+    offset mismatch on non-concat dimension") or, offset-aligned, ran 4×
+    slower than the matmuls it fed."""
+    b, h, wid, c_in = x.shape
+    wg = wid // p
     lanes = p * c_in
+    k = (p + 2) * c_in
+    flat = x.reshape(b, h, wid * c_in)
+    xp = jnp.pad(flat, ((0, 0), (0, 0), (c_in, c_in)))
+    # Window g is xp[g·lanes : g·lanes + K]. Build it from ⌈K/lanes⌉
+    # lane-strided views (2 for P≥2, 3 for P=1): piece at offset `off`
+    # contributes lanes [off, off+seg) of every window via one reshape.
     pieces = []
-    for u in range(3):
-        a = xs[u:u + th, 0:wg, lanes - c_in:lanes]
-        b = xs[u:u + th, 1:wg + 1, :]
-        c = xs[u:u + th, 2:wg + 2, 0:c_in]
-        pieces.append(jnp.concatenate([a, b, c], axis=-1))
-    patch = jnp.concatenate(pieces, axis=-1)  # [th, wg, 3(P+2)Cin]
-    return patch.reshape(th * wg, 3 * (p + 2) * c_in)
+    for off in range(0, k, lanes):
+        seg = min(lanes, k - off)
+        t = xp[..., off:]
+        short = wg * lanes - t.shape[-1]
+        if short > 0:
+            t = jnp.pad(t, ((0, 0), (0, 0), (0, short)))
+        t = t[..., :wg * lanes].reshape(b, h, wg, lanes)
+        pieces.append(t[..., :seg])
+    return jnp.concatenate(pieces, axis=-1)  # [b, h, wg, K]
 
 
-def _fwd_kernel(xs_ref, w_ref, y_ref, *, th, wg, c_in, p):
-    xs = xs_ref[0, 0]
-    patch = _build_patch(xs, th, wg, c_in, p)
-    acc = jax.lax.dot_general(
-        patch, w_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    y_ref[0, 0] = acc.reshape(th, wg, -1).astype(y_ref.dtype)
+def _row_slab(xw: jax.Array, th: int) -> jax.Array:
+    """[B, H, Wg, K] → row-halo slabs [B, H/th, th+2, Wg, K] (zero pads).
 
-
-def _dw_kernel(xs_ref, dy_ref, dw_ref, *, th, wg, c_in, p):
-    xs = xs_ref[0, 0]
-    patch = _build_patch(xs, th, wg, c_in, p)
-    dy = dy_ref[0, 0].reshape(th * wg, -1)
-    acc = jax.lax.dot_general(  # patchᵀ @ dy: contract the R rows
-        patch, dy, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
-    def _init():
-        dw_ref[...] = acc
-
-    @pl.when((pl.program_id(0) > 0) | (pl.program_id(1) > 0))
-    def _accum():
-        dw_ref[...] += acc
-
-
-def _slab(x_packed: jax.Array, th: int) -> jax.Array:
-    """[B, H, Wg, L] → halo slabs [B, H/th, th+2, Wg+2, L] (zero pads).
-
-    One extra pass over x; trades the HBM copy for trivially correct
+    One extra pass over xw; trades the HBM copy for trivially correct
     non-overlapping Pallas blocks (overlapping BlockSpecs don't exist)."""
-    b, h, wg, lanes = x_packed.shape
-    xp = jnp.pad(x_packed, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    b, h, wg, k = xw.shape
+    xp = jnp.pad(xw, ((0, 0), (1, 1), (0, 0), (0, 0)))
     nh = h // th
-    body = xp[:, 1:h + 1].reshape(b, nh, th, wg + 2, lanes)
+    body = xp[:, 1:h + 1].reshape(b, nh, th, wg, k)
     top = xp[:, 0:h:th][:, :, None]           # padded row i·th
     bot = xp[:, th + 1::th][:, :, None]       # padded row i·th + th + 1
     return jnp.concatenate([top, body, bot], axis=2)
+
+
+def _fwd_kernel(xs_ref, w_ref, y_ref, *, th, c_in, p):
+    kseg = (p + 2) * c_in
+    acc = None
+    for u in range(3):  # dot split per kernel row: no in-kernel concat
+        patch = xs_ref[0, 0, u:u + th]        # [th, wg, K] — leading-dim
+        d = jax.lax.dot_general(              # slice only, offset (0, 0)
+            patch, w_ref[u * kseg:(u + 1) * kseg, :],
+            (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        acc = d if acc is None else acc + d
+    y_ref[0, 0] = acc.astype(y_ref.dtype)     # [th, wg, P·Cout]
+
+
+def _dw_kernel(xs_ref, dy_ref, dw_ref, *, th, c_in, p):
+    kseg = (p + 2) * c_in
+    dy = dy_ref[0, 0]                         # [th, wg, P·Cout]
+    m = dy.shape[0] * dy.shape[1]
+    dy2 = dy.reshape(m, dy.shape[2])
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+    for u in range(3):
+        patch = xs_ref[0, 0, u:u + th]        # [th, wg, K]
+        # patchᵀ @ dy over the fused (th·wg) rows — Mosaic's matmul only
+        # takes a single contracting dim, so collapse the leading pair.
+        p2 = patch.reshape(m, patch.shape[2])
+        acc = jax.lax.dot_general(
+            p2, dy2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        @pl.when(first)
+        def _init():
+            dw_ref[u * kseg:(u + 1) * kseg, :] = acc
+
+        @pl.when(jnp.logical_not(first))
+        def _accum():
+            dw_ref[u * kseg:(u + 1) * kseg, :] += acc
 
 
 def _conv_fwd_impl(x: jax.Array, w: jax.Array) -> jax.Array:
@@ -157,17 +183,17 @@ def _conv_fwd_impl(x: jax.Array, w: jax.Array) -> jax.Array:
     wg = wid // p
     th = _pick_th(h, wg)
     nh = h // th
-    lanes = p * c_in
+    k = (p + 2) * c_in
 
-    xs = _slab(x.reshape(b, h, wg, lanes), th)
+    xs = _row_slab(_window_pack(x, p), th)
     wp = pack_weights(w, p)
     kdim = wp.shape[0]
 
     y = pl.pallas_call(
-        functools.partial(_fwd_kernel, th=th, wg=wg, c_in=c_in, p=p),
+        functools.partial(_fwd_kernel, th=th, c_in=c_in, p=p),
         grid=(b, nh),
         in_specs=[
-            pl.BlockSpec((1, 1, th + 2, wg + 2, lanes),
+            pl.BlockSpec((1, 1, th + 2, wg, k),
                          lambda i, j: (i, j, 0, 0, 0)),
             pl.BlockSpec((kdim, p * c_out), lambda i, j: (0, 0)),
         ],
@@ -185,17 +211,17 @@ def _conv_dw_impl(x: jax.Array, dy: jax.Array, p: int) -> jax.Array:
     wg = wid // p
     th = _pick_th(h, wg)
     nh = h // th
-    lanes = p * c_in
-    kdim = 3 * (p + 2) * c_in
+    k = (p + 2) * c_in
+    kdim = 3 * k
 
-    xs = _slab(x.reshape(b, h, wg, lanes), th)
+    xs = _row_slab(_window_pack(x, p), th)
     dyp = dy.reshape(b, nh, th, wg, p * c_out)
 
     dwp = pl.pallas_call(
-        functools.partial(_dw_kernel, th=th, wg=wg, c_in=c_in, p=p),
+        functools.partial(_dw_kernel, th=th, c_in=c_in, p=p),
         grid=(b, nh),
         in_specs=[
-            pl.BlockSpec((1, 1, th + 2, wg + 2, lanes),
+            pl.BlockSpec((1, 1, th + 2, wg, k),
                          lambda i, j: (i, j, 0, 0, 0)),
             pl.BlockSpec((1, 1, th, wg, p * c_out),
                          lambda i, j: (i, j, 0, 0, 0)),
