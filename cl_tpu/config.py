@@ -64,6 +64,14 @@ class ModelConfig:
     # restores MXU lane occupancy for the small-channel 512²/256² levels
     # (DESIGN.md §8). Unsupported shapes fall back to XLA per-layer.
     conv_impl: str = "xla"
+    # k=2/s=2 transposed-conv implementation: "xla" = nn.ConvTranspose;
+    # "matmul" = one einsum + pixel shuffle with the SAME param tree (the
+    # no-overlap case is a single tap per output pixel). Measured A/B at
+    # 512²/b8 bf16: matmul kills the backward's 1.6 ms activation
+    # `reverse` but its pixel-shuffle transposes cost ~3.5 ms of
+    # copy/layout — net 70.1→71.9 ms/step, so XLA stays the default
+    # (DESIGN.md §8).
+    upconv_impl: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -127,6 +127,7 @@ class UNet(nn.Module):
     dtype: Any = jnp.float32
     head_width: int | None = None  # None => num_classes (padded head)
     conv_impl: str = "xla"  # "pallas" = lane-packed kernel (DESIGN.md §8)
+    upconv_impl: str = "xla"  # "xla" | "matmul" = einsum+pixel-shuffle
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
@@ -149,7 +150,7 @@ class UNet(nn.Module):
             feats = c * (2 ** level)
             # k=2 / s=2 transposed conv: clean 2× upsample, no overlap
             # (SURVEY.md §7 "ConvTranspose parity").
-            if self.conv_impl == "pallas":
+            if self.upconv_impl == "matmul" or self.conv_impl == "pallas":
                 x = UpConv2x2(feats, dtype=self.dtype,
                               name=f"up{level}")(x)
             else:

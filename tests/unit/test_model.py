@@ -48,3 +48,38 @@ def test_train_mode_updates_batch_stats():
     before = v["batch_stats"]["enc0"]["bn0"]["mean"]
     after = new_state["batch_stats"]["enc0"]["bn0"]["mean"]
     assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_upconv_matmul_matches_conv_transpose():
+    """UpConv2x2 (einsum + pixel shuffle) == nn.ConvTranspose(k2/s2) with
+    the SAME param tree — forward near-exact, grads close (the default
+    model.upconv_impl=matmul must be a drop-in for checkpoints and the
+    torch importer; DESIGN.md §8)."""
+    import flax.linen as nn
+
+    from cl_tpu.models.unet import UpConv2x2
+
+    for c_in, c_out, hw, dt in [(16, 8, 8, jnp.float32),
+                                (8, 4, 6, jnp.float32),
+                                (16, 8, 8, jnp.bfloat16)]:
+        up = UpConv2x2(c_out, dtype=dt)
+        ct = nn.ConvTranspose(c_out, (2, 2), strides=(2, 2),
+                              padding="VALID", use_bias=True, dtype=dt,
+                              param_dtype=jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, hw, hw, c_in), dt)
+        v = up.init(jax.random.PRNGKey(1), x)
+        assert jax.tree.map(jnp.shape, v) == jax.tree.map(
+            jnp.shape, ct.init(jax.random.PRNGKey(1), x))
+        ya = up.apply(v, x).astype(jnp.float32)
+        yb = ct.apply(v, x).astype(jnp.float32)
+        tol = 1e-5 if dt == jnp.float32 else 2e-2
+        np.testing.assert_allclose(ya, yb, atol=tol, rtol=tol)
+
+        def loss(fn):
+            return lambda p, x: jnp.sum(
+                fn.apply(p, x).astype(jnp.float32) ** 2)
+
+        ga = jax.grad(loss(up))(v, x)
+        gb = jax.grad(loss(ct))(v, x)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            a, b, atol=20 * tol, rtol=20 * tol), ga, gb)
