@@ -30,6 +30,61 @@ import jax
 import jax.numpy as jnp
 
 
+def _pool_quads(x):
+    """The four stride-2 phases of a 2×2 window: x[..., 2i+u, 2j+v, :]."""
+    b, h, w, c = x.shape
+    x6 = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return (x6[:, :, 0, :, 0], x6[:, :, 0, :, 1],
+            x6[:, :, 1, :, 0], x6[:, :, 1, :, 1])
+
+
+@jax.custom_vjp
+def maxpool2x2(x):
+    """2×2/stride-2 max pool with an elementwise backward.
+
+    Forward is a 4-way elementwise max over the window phases (no
+    reduce_window). The custom VJP routes dy to the FIRST maximal
+    element in window scan order — the same tie rule as XLA's
+    ``select_and_scatter`` (and torch's first-argmax routing) — using
+    only selects and a pixel-interleave reshape.
+
+    Measured NEGATIVE result, kept as reference (DESIGN.md §8): at
+    512²/b8 bf16 the phase slices + interleave cost ~9 ms/step vs the
+    1.8 ms ``select_and_scatter`` they replace (strided sublane access
+    beats sequential reduce_window on paper, loses on the real layout),
+    so the model uses ``nn.max_pool`` and this stays unwired."""
+    x00, x01, x10, x11 = _pool_quads(x)
+    return jnp.maximum(jnp.maximum(x00, x01), jnp.maximum(x10, x11))
+
+
+def _maxpool2x2_fwd(x):
+    return maxpool2x2(x), x
+
+
+def _maxpool2x2_bwd(x, dy):
+    x00, x01, x10, x11 = _pool_quads(x)
+    m01 = jnp.maximum(x00, x01)
+    m23 = jnp.maximum(x10, x11)
+    sel_a = m01 >= m23          # tie -> first pair
+    sel0 = x00 >= x01           # tie -> first element
+    sel1 = x10 >= x11
+    zero = jnp.zeros_like(dy)
+    top = jnp.where(sel_a, dy, zero)
+    bot = jnp.where(sel_a, zero, dy)
+    d00 = jnp.where(sel0, top, zero)
+    d01 = jnp.where(sel0, zero, top)
+    d10 = jnp.where(sel1, bot, zero)
+    d11 = jnp.where(sel1, zero, bot)
+    b, hh, ww, c = dy.shape
+    row0 = jnp.stack([d00, d01], axis=3)   # [b,hh,ww,2,c] (v)
+    row1 = jnp.stack([d10, d11], axis=3)
+    dx6 = jnp.stack([row0, row1], axis=2)  # [b,hh,2,ww,2,c] (u,v)
+    return (dx6.reshape(b, 2 * hh, 2 * ww, c),)
+
+
+maxpool2x2.defvjp(_maxpool2x2_fwd, _maxpool2x2_bwd)
+
+
 class Conv3x3(nn.Module):
     """3×3 SAME no-bias conv with a selectable implementation.
 

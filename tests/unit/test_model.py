@@ -83,3 +83,34 @@ def test_upconv_matmul_matches_conv_transpose():
         gb = jax.grad(loss(ct))(v, x)
         jax.tree.map(lambda a, b: np.testing.assert_allclose(
             a, b, atol=20 * tol, rtol=20 * tol), ga, gb)
+
+
+def test_maxpool2x2_matches_reduce_window():
+    """maxpool2x2 forward == nn.max_pool exactly; custom-VJP gradient ==
+    XLA's select_and_scatter backward, INCLUDING tie routing (both send
+    dy to the first maximal element in window scan order)."""
+    import flax.linen as nn
+
+    from cl_tpu.models.unet import maxpool2x2
+
+    rng = np.random.RandomState(0)
+    for shape, dt in [((2, 8, 8, 3), jnp.float32),
+                      ((1, 16, 16, 4), jnp.bfloat16)]:
+        x = rng.randn(*shape).astype(np.float32)
+        # force plenty of exact ties (post-ReLU zeros and equal pairs)
+        x[x < 0] = 0.0
+        x = jnp.asarray(x, dt)
+
+        ref_pool = lambda v: nn.max_pool(v, (2, 2), strides=(2, 2))
+        np.testing.assert_array_equal(
+            np.asarray(maxpool2x2(x)), np.asarray(ref_pool(x)))
+
+        def loss(fn, v):
+            y = fn(v).astype(jnp.float32)
+            w = jnp.arange(y.size, dtype=jnp.float32).reshape(y.shape)
+            return jnp.sum(y * w)  # distinct cotangent per output
+
+        ga = jax.grad(lambda v: loss(maxpool2x2, v))(x)
+        gb = jax.grad(lambda v: loss(ref_pool, v))(x)
+        np.testing.assert_array_equal(np.asarray(ga, np.float32),
+                                      np.asarray(gb, np.float32))
