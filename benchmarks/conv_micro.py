@@ -47,6 +47,15 @@ def timeit(f, *args, n=20):
     return (time.perf_counter() - t0) / n
 
 
+def xla_conv(x, k):
+    # what flax nn.Conv emits for the model path: plain bf16 SAME conv
+    # (MXU accumulates f32 internally; no preferred_element_type so the
+    # conv transpose rule stays bf16-differentiable)
+    return jax.lax.conv_general_dilated(
+        x, k, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 def main():
     bwd = "--bwd" in sys.argv
     for name, h, w, ci, co in SHAPES:
@@ -71,14 +80,14 @@ def main():
                 return jax.jit(fn)
 
         row = {"conv": name, "shape": [B, h, w, ci, co], "bwd": bwd}
-        t = timeit(run(pc.conv3x3_reference), x, k)
+        t = timeit(run(xla_conv), x, k)
         row["xla_ms"] = round(t * 1e3, 3)
         row["xla_tf"] = round(flops / t / 1e12, 1)
         if pc.supported(h, w, ci, co):
             t = timeit(run(pc.conv3x3), x, k)
             row["pallas_ms"] = round(t * 1e3, 3)
             row["pallas_tf"] = round(flops / t / 1e12, 1)
-            row["p"] = pc.pick_pack(co)
+            row["p"] = pc.pick_pack(ci, co)
         print(json.dumps(row), flush=True)
 
 

@@ -111,6 +111,11 @@ def main() -> int:
         "model.base_channels=32", "train.compute_dtype=bfloat16",
         "train.data_parallel=false",
     ]
+    for a in sys.argv:
+        if a.startswith("--conv="):
+            over.append(f"model.conv_impl={a.split('=', 1)[1]}")
+        if a.startswith("--upconv="):
+            over.append(f"model.upconv_impl={a.split('=', 1)[1]}")
     if methods:
         over += ["method.methods=ewc,lwf,replay",
                  f"method.replay_batch={max(1, batch // 8)}"]

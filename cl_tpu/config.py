@@ -60,9 +60,11 @@ class ModelConfig:
     # grow-the-head variant (recompiles once per task).
     padded_head: bool = True
     # 3x3-conv implementation: "xla" = lax conv; "pallas" = the
-    # lane-packed kernel (pallas/conv3x3.py) on supported shapes, which
-    # restores MXU lane occupancy for the small-channel 512²/256² levels
-    # (DESIGN.md §8). Unsupported shapes fall back to XLA per-layer.
+    # lane-packed in-kernel-DMA kernel (pallas/conv3x3.py) on all
+    # supported shapes; "auto" = pallas only on the measured-win
+    # channel-doubling encoder shapes (conv3x3.profitable). XLA stays
+    # the default: even "auto" loses ~4 ms/step to broken conv<->BN/ReLU
+    # fusion + halo pads (measured verdict, DESIGN.md §8).
     conv_impl: str = "xla"
     # k=2/s=2 transposed-conv implementation: "xla" = nn.ConvTranspose;
     # "matmul" = one einsum + pixel shuffle with the SAME param tree (the

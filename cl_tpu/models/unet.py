@@ -105,9 +105,11 @@ class Conv3x3(nn.Module):
                             (3, 3, c_in, self.features), jnp.float32)
         k = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
-        if self.conv_impl == "pallas":
+        if self.conv_impl in ("pallas", "auto"):
             from cl_tpu.pallas import conv3x3 as pc
-            if pc.supported(x.shape[1], x.shape[2], c_in, self.features):
+            ok = (pc.profitable if self.conv_impl == "auto"
+                  else pc.supported)
+            if ok(x.shape[1], x.shape[2], c_in, self.features):
                 return pc.conv3x3(x, k)
         return jax.lax.conv_general_dilated(
             x, k, window_strides=(1, 1), padding="SAME",

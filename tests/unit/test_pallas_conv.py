@@ -22,27 +22,29 @@ def _rand(shape, dtype=jnp.float32, seed=0):
 
 @pytest.mark.parametrize("c_out,p", [(32, 4), (64, 2), (128, 1)])
 def test_forward_matches_lax(c_out, p):
-    assert pc.pick_pack(c_out) == p
-    x = _rand((2, 8, 8, 16))
-    w = _rand((3, 3, 16, c_out), seed=1)
+    # c_in=128 keeps P·C_in lane-aligned at the natural pack factor
+    assert pc.pick_pack(128, c_out) == p
+    x = _rand((2, 8, 8, 128))
+    w = _rand((3, 3, 128, c_out), seed=1)
     got = pc.conv3x3(x, w)
     want = pc.conv3x3_reference(x, w)
-    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+    # K=768 contraction, different accumulation order than lax
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
 
 
 def test_forward_rectangular_and_odd_rows():
-    x = _rand((1, 6, 16, 8))  # th won't divide evenly until picked
-    w = _rand((3, 3, 8, 32), seed=2)
+    x = _rand((1, 6, 16, 16))  # odd rows -> single whole-image tile
+    w = _rand((3, 3, 16, 32), seed=2)
     np.testing.assert_allclose(pc.conv3x3(x, w),
                                pc.conv3x3_reference(x, w),
                                atol=1e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("c_in,c_out", [(8, 32), (16, 64)])
+@pytest.mark.parametrize("c_in,c_out", [(16, 32), (32, 64)])
 def test_grads_match_lax(c_in, c_out):
-    x = _rand((2, 8, 8, c_in), seed=3)
+    x = _rand((2, 8, 16, c_in), seed=3)
     w = _rand((3, 3, c_in, c_out), seed=4)
-    cot = _rand((2, 8, 8, c_out), seed=5)  # fixed cotangent
+    cot = _rand((2, 8, 16, c_out), seed=5)  # fixed cotangent
 
     def loss(fn):
         def f(x, w):
@@ -85,21 +87,46 @@ def test_pack_fold_roundtrip():
 
 
 def test_supported_gate():
-    assert pc.supported(512, 512, 32, 32)
-    assert pc.supported(256, 256, 64, 64)
+    assert pc.supported(512, 512, 32, 32)      # P=4, lanes 128
+    assert pc.supported(256, 256, 64, 64)      # P=2, lanes 128
+    assert pc.supported(256, 256, 32, 64)      # P bumped 2->4 for lanes
     assert not pc.supported(512, 512, 3, 32)   # RGB stem -> XLA
     assert not pc.supported(8, 6, 32, 32)      # W not divisible by P=4
+    assert not pc.supported(20, 16, 32, 32)    # h>16 and h%8 != 0
+    # a shape whose minimum (th=8) tile still needs >8 MB scoped VMEM
+    # (would OOM Mosaic's 16 MB stack) -> XLA
+    assert not pc.supported(64, 64, 1024, 512)
+    # ...while the dec3 512->256 shape fits at th=8 (its whole-image
+    # tile needed 27 MB -- the r2 OOM this guard fixes) and is supported
+    assert pc.supported(64, 64, 512, 256)
+
+
+def test_profitable_is_measured_subset():
+    # measured-win shapes (DESIGN.md §8): channel-doubling packed convs
+    assert pc.profitable(256, 256, 32, 64)
+    assert pc.profitable(128, 128, 64, 128)
+    # equal-width / decoder / unpacked shapes are routed to XLA
+    assert not pc.profitable(512, 512, 32, 32)   # equal width
+    assert not pc.profitable(512, 512, 64, 32)   # decoder halving
+    assert not pc.profitable(64, 64, 128, 256)   # P=1, no packing
+    # profitable() implies supported()
+    for args in [(256, 256, 32, 64), (128, 128, 64, 128)]:
+        assert pc.supported(*args)
 
 
 def test_unet_pallas_impl_matches_xla():
     """Whole-model gate: same variables, same logits (interpret on CPU)."""
     from cl_tpu.models.unet import UNet, init_variables
 
-    mx = UNet(num_classes=5, base_channels=8, depth=2, conv_impl="xla")
-    mp = UNet(num_classes=5, base_channels=8, depth=2, conv_impl="pallas")
+    mx = UNet(num_classes=5, base_channels=16, depth=2, conv_impl="xla")
+    mp = UNet(num_classes=5, base_channels=16, depth=2, conv_impl="pallas")
+    # the 16-ch convs pack at P=8 (lane alignment) with wg>=2 at 32px,
+    # so the pallas path is genuinely exercised, not gated out
+    from cl_tpu.pallas import conv3x3 as _pc
+    assert _pc.supported(32, 32, 16, 16)
     rng = jax.random.PRNGKey(0)
-    vs = init_variables(mx, rng, image_size=16, batch_size=2)
-    x = _rand((2, 16, 16, 3), seed=9)
+    vs = init_variables(mx, rng, image_size=32, batch_size=2)
+    x = _rand((2, 32, 32, 3), seed=9)
     lx = mx.apply(vs, x, train=False)
     lp = mp.apply(vs, x, train=False)
     np.testing.assert_allclose(lp, lx, atol=1e-4, rtol=1e-4)
