@@ -116,6 +116,8 @@ def main() -> int:
             over.append(f"model.conv_impl={a.split('=', 1)[1]}")
         if a.startswith("--upconv="):
             over.append(f"model.upconv_impl={a.split('=', 1)[1]}")
+        if a.startswith("--set="):  # any config override, e.g.
+            over.append(a.split("=", 1)[1])  # --set=train.fused_head_ce=false
     if methods:
         over += ["method.methods=ewc,lwf,replay",
                  f"method.replay_batch={max(1, batch // 8)}"]

@@ -140,6 +140,14 @@ class TrainConfig:
     # fewer programs to compile, and it partitions under DP. The kernel
     # stays available behind this flag.
     pallas_augment: bool = False
+    # Fused 1×1-head + CE kernel (pallas/head_ce.py): the train loss
+    # computes head logits tile-wise in VMEM instead of materializing the
+    # [B,H,W,C] logit tensor in HBM (~7.3→~2 ms of the 512² step,
+    # DESIGN.md §8). Applies when use_pallas is on and LwF is off (KD
+    # needs materialized logits) and spatial_parallel is off. Train-loss
+    # numerics: f32 matmul accumulation instead of XLA's bf16-conv
+    # rounding — same f32 CE arithmetic, oracle-tested.
+    fused_head_ce: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

@@ -111,7 +111,12 @@ def replay_arrays(buf):
                 [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
             msks = np.concatenate(
                 [msks, np.zeros((pad,) + msks.shape[1:], msks.dtype)])
-        return jnp.asarray(imgs), jnp.asarray(msks)
+        di, dm = jnp.asarray(imgs), jnp.asarray(msks)
+        # Sync the async upload so the one-time transfer lands here (in
+        # wall time) rather than inside the first timed train dispatch
+        # (same rationale as DeviceDatasetCache.__init__).
+        np.asarray(di[0, 0, 0]), np.asarray(dm[0, 0, 0])
+        return di, dm
     return buf.images, buf.masks
 
 

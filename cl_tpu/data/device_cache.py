@@ -55,6 +55,13 @@ class DeviceDatasetCache:
         self.images = put(np.concatenate(imgs))   # uint8 [N,S,S,3]
         self.masks = put(np.concatenate(msks))    # uint8 [N,S,S]
         self.n = n
+        # The put is async; without a sync the bulk transfer completes
+        # inside the FIRST dispatch that uses the cache — i.e. inside the
+        # first timed epoch of the task, polluting the steady-state step
+        # rate with a one-time setup cost (it stays in wall_seconds).
+        # Fetching one element of each array blocks until the uploads
+        # land (block_until_ready is unreliable through the device relay).
+        np.asarray(self.images[0, 0, 0]), np.asarray(self.masks[0, 0, 0])
 
     def nbytes(self) -> int:
         return self.images.nbytes + self.masks.nbytes

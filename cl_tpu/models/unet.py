@@ -187,7 +187,14 @@ class UNet(nn.Module):
     upconv_impl: str = "xla"  # "xla" | "matmul" = einsum+pixel-shuffle
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, *, train: bool = False,
+                 return_features: bool = False):
+        """``return_features=True`` returns the pre-head activations
+        [B, H, W, base_channels] in compute dtype instead of logits —
+        the operand of the fused head+CE kernel (pallas/head_ce.py),
+        which applies the head's own params tile-wise in VMEM. The head
+        module is not visited then; its params still exist in the tree
+        (created at init, trained through the fused kernel's VJP)."""
         c = self.base_channels
         x = x.astype(self.dtype)
 
@@ -221,6 +228,8 @@ class UNet(nn.Module):
                            conv_impl=self.conv_impl,
                            name=f"dec{level}")(x, train=train)
 
+        if return_features:
+            return x
         width = self.head_width or self.num_classes
         logits = nn.Conv(width, (1, 1), dtype=self.dtype,
                          param_dtype=jnp.float32, name="head")(x)

@@ -176,7 +176,25 @@ def make_train_step(cfg: Config, model: UNet, tx,
     # (TrainConfig.pallas_augment); EWC kernels need no wrapping (params
     # are replicated — nothing reshards).
     use_pallas_batch = use_pallas and mesh is None
-    ce_sharded = kd_sharded = None
+    # Fused head+CE (pallas/head_ce.py): logits never materialize in HBM.
+    # LwF needs the full logit tensor for KD, and the spatial forward
+    # returns stitched logits, so both fall back to the unfused path.
+    use_fused_head = (use_pallas and not use_lwf and spatial_mesh is None
+                      and cfg.train.fused_head_ce)
+    ce_sharded = kd_sharded = head_ce_sharded = None
+    if use_fused_head and mesh is not None:
+        from jax.sharding import PartitionSpec as P
+
+        from cl_tpu.pallas import head_ce as head_pallas_s
+
+        head_ce_sharded = jax.shard_map(
+            lambda ft, hw, hb, lb, v: head_pallas_s.head_cross_entropy_sharded(
+                ft, hw, hb, lb, v, axis=sharding.DATA_AXIS,
+                ignore_index=cfg.data.ignore_index),
+            mesh=mesh,
+            in_specs=(P(sharding.DATA_AXIS), P(), P(),
+                      P(sharding.DATA_AXIS), P()),
+            out_specs=(P(), P()), check_vma=False)
     if use_pallas and mesh is not None:
         from jax.sharding import PartitionSpec as P
 
@@ -212,14 +230,15 @@ def make_train_step(cfg: Config, model: UNet, tx,
     fwd_apply = model.apply if spatial_mesh is None \
         else spatial_apply_fn(cfg, spatial_mesh)
 
-    def apply_train(params, model_state, x):
+    def apply_train(params, model_state, x, features: bool = False):
         mutable = list(model_state.keys())
+        kw = {"return_features": True} if features else {}
         if mutable:
-            logits, new_ms = fwd_apply(
+            out, new_ms = fwd_apply(
                 {"params": params, **model_state}, x, train=True,
-                mutable=mutable)
-            return logits, new_ms
-        return fwd_apply({"params": params}, x, train=True), {}
+                mutable=mutable, **kw)
+            return out, new_ms
+        return fwd_apply({"params": params}, x, train=True, **kw), {}
 
     def step(state: TrainState, batch: pipeline.HostBatch,
              valid_classes: jax.Array):
@@ -230,7 +249,48 @@ def make_train_step(cfg: Config, model: UNet, tx,
             old = _pad_logits(lwf_lib.old_logits(fwd_apply, state.lwf, x),
                               d.num_classes)
 
+        def finish(params, ce, n_pix, new_ms, logits=None, old_t=None):
+            total = ce
+            aux = {"ce": ce, "n_pix": n_pix}
+            if use_ewc:
+                if use_pallas:
+                    from cl_tpu.pallas import ewc_fused
+                    pen = ewc_fused.penalty(params, state.ewc,
+                                            mode=m.ewc_mode)
+                else:
+                    pen = ewc_lib.penalty(params, state.ewc,
+                                          mode=m.ewc_mode)
+                total = total + m.ewc_lambda * pen
+                aux["ewc_penalty"] = pen
+            if use_lwf:
+                if kd_sharded is not None:
+                    kd = state.lwf.weight * kd_sharded(
+                        logits, old_t, state.lwf.old_valid, y)
+                else:
+                    kd = lwf_lib.distill_loss(
+                        logits, old_t, state.lwf, y,
+                        temperature=m.lwf_temperature,
+                        use_pallas=use_pallas_batch,
+                        ignore_index=d.ignore_index)
+                total = total + m.lwf_alpha * kd
+                aux["kd"] = kd
+            aux["loss"] = total
+            return total, (aux, new_ms)
+
         def loss_fn(params):
+            if use_fused_head:
+                feats, new_ms = apply_train(params, state.model_state, x,
+                                            features=True)
+                hk, hb = params["head"]["kernel"], params["head"]["bias"]
+                if head_ce_sharded is not None:
+                    ce, n_pix = head_ce_sharded(feats, hk, hb, y,
+                                                valid_classes)
+                else:
+                    from cl_tpu.pallas import head_ce as head_pallas
+                    ce, n_pix = head_pallas.head_cross_entropy(
+                        feats, hk, hb, y, valid_classes,
+                        ignore_index=d.ignore_index)
+                return finish(params, ce, n_pix, new_ms)
             logits, new_ms = apply_train(params, state.model_state, x)
             logits = _pad_logits(logits, d.num_classes)
             old_t = old
@@ -253,31 +313,8 @@ def make_train_step(cfg: Config, model: UNet, tx,
             else:
                 ce, n_pix = losses.cross_entropy(
                     logits, y, valid_classes, ignore_index=d.ignore_index)
-            total = ce
-            aux = {"ce": ce, "n_pix": n_pix}
-            if use_ewc:
-                if use_pallas:
-                    from cl_tpu.pallas import ewc_fused
-                    pen = ewc_fused.penalty(params, state.ewc,
-                                            mode=m.ewc_mode)
-                else:
-                    pen = ewc_lib.penalty(params, state.ewc, mode=m.ewc_mode)
-                total = total + m.ewc_lambda * pen
-                aux["ewc_penalty"] = pen
-            if use_lwf:
-                if kd_sharded is not None:
-                    kd = state.lwf.weight * kd_sharded(
-                        logits, old_t, state.lwf.old_valid, y)
-                else:
-                    kd = lwf_lib.distill_loss(
-                        logits, old_t, state.lwf, y,
-                        temperature=m.lwf_temperature,
-                        use_pallas=use_pallas_batch,
-                        ignore_index=d.ignore_index)
-                total = total + m.lwf_alpha * kd
-                aux["kd"] = kd
-            aux["loss"] = total
-            return total, (aux, new_ms)
+            return finish(params, ce, n_pix, new_ms, logits=logits,
+                          old_t=old_t)
 
         grads, (aux, new_ms) = jax.grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)

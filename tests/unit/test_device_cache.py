@@ -35,13 +35,34 @@ def test_cached_batches_match_host_pipeline():
 
 
 def test_cached_run_reports_identical_results():
+    """Bit-identity between the host-pipeline and cached-input programs.
+
+    Gated with fused_head_ce OFF: the materialized-logits loss gives both
+    programs an identical fusion boundary, so results match exactly. With
+    the fused head+CE kernel the feature transpose fuses into the model's
+    last BN/ReLU differently in the two (structurally different) programs
+    and their f32 reductions associate differently — see the tolerance
+    gate below."""
+    from cl_tpu.train import train
+
+    base = train(_cfg(["train.fused_head_ce=false"]))
+    cached = train(_cfg(["data.device_cache=true",
+                         "train.fused_head_ce=false"]))
+    assert cached["final_per_task_miou"] == base["final_per_task_miou"]
+    np.testing.assert_array_equal(np.asarray(cached["miou_matrix"]),
+                                  np.asarray(base["miou_matrix"]))
+
+
+def test_cached_run_matches_host_run_fused_head():
+    """Same gate with the DEFAULT loss path (fused head+CE): last-ulp f32
+    association may differ across the two programs, so the identity is
+    at tolerance, not bitwise."""
     from cl_tpu.train import train
 
     base = train(_cfg())
     cached = train(_cfg(["data.device_cache=true"]))
-    assert cached["final_per_task_miou"] == base["final_per_task_miou"]
-    np.testing.assert_array_equal(np.asarray(cached["miou_matrix"]),
-                                  np.asarray(base["miou_matrix"]))
+    np.testing.assert_allclose(cached["final_per_task_miou"],
+                               base["final_per_task_miou"], atol=2e-3)
 
 
 def test_device_cache_under_mesh_matches_single_device(eight_devices):
@@ -85,7 +106,11 @@ def test_grow_head_with_device_cache_matches_host():
     from cl_tpu.train import train
 
     ov = ["data.num_classes=5", "train.num_tasks=2",
-          "model.padded_head=false", "data.train_images_per_task=8"]
+          "model.padded_head=false", "data.train_images_per_task=8",
+          # bit-identity across structurally different programs needs the
+          # materialized-logits fusion boundary (see
+          # test_cached_run_reports_identical_results)
+          "train.fused_head_ce=false"]
     base = train(_cfg(ov))
     cached = train(_cfg(ov + ["data.device_cache=true"]))
     assert cached["final_per_task_miou"] == base["final_per_task_miou"]
@@ -99,7 +124,7 @@ def test_sampled_fisher_identical_across_input_paths():
 
     ov = ["data.num_classes=5", "train.num_tasks=2",
           "method.methods=ewc", "method.ewc_fisher_kind=true",
-          "data.train_images_per_task=8"]
+          "data.train_images_per_task=8", "train.fused_head_ce=false"]
     base = train(_cfg(ov))
     cached = train(_cfg(ov + ["data.device_cache=true"]))
     assert cached["final_per_task_miou"] == base["final_per_task_miou"]

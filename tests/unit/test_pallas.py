@@ -246,3 +246,170 @@ def test_kd_loss_odd_pixel_count():
         x, old, valid, labels, temperature=2.0))(new)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
                                atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Fused head+CE (pallas/head_ce.py) vs 1×1-conv + CE oracle
+# ---------------------------------------------------------------------------
+
+
+def _head_fixture(seed=21, cin=16, classes=9, width=None, hw=(2, 8, 8)):
+    rng = np.random.RandomState(seed)
+    b, h, w = hw
+    width = width or classes
+    feats = jnp.asarray(rng.randn(b, h, w, cin).astype(np.float32))
+    kern = jnp.asarray((rng.randn(1, 1, cin, width) * 0.3)
+                       .astype(np.float32))
+    bias = jnp.asarray((rng.randn(width) * 0.3).astype(np.float32))
+    labels = rng.randint(0, min(width, classes), size=(b, h, w))
+    labels[0, :2] = 255
+    labels_j = jnp.asarray(labels.astype(np.int32))
+    valid = jnp.asarray((np.arange(classes) < min(width, classes) - 1)
+                        .astype(np.float32))
+    return feats, kern, bias, labels_j, valid
+
+
+def _head_oracle(feats, kern, bias, labels, valid, classes):
+    logits = jax.lax.conv_general_dilated(
+        feats, kern, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+    if logits.shape[-1] != classes:
+        logits = jnp.pad(
+            logits, ((0, 0),) * 3 + ((0, classes - logits.shape[-1]),),
+            constant_values=losses.NEG_INF)
+    return losses.cross_entropy(logits, labels, valid)
+
+
+def test_head_ce_matches_oracle():
+    from cl_tpu.pallas import head_ce
+
+    feats, kern, bias, labels, valid = _head_fixture()
+    ref, n_ref = _head_oracle(feats, kern, bias, labels, valid, 9)
+    got, n_got = head_ce.head_cross_entropy(feats, kern, bias, labels,
+                                            valid)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    assert float(n_got) == float(n_ref)
+
+
+def test_head_ce_gradients_match_oracle():
+    from cl_tpu.pallas import head_ce
+
+    feats, kern, bias, labels, valid = _head_fixture(seed=22)
+    g_ref = jax.grad(
+        lambda f, k, b: _head_oracle(f, k, b, labels, valid, 9)[0],
+        argnums=(0, 1, 2))(feats, kern, bias)
+    g_got = jax.grad(
+        lambda f, k, b: head_ce.head_cross_entropy(
+            f, k, b, labels, valid)[0],
+        argnums=(0, 1, 2))(feats, kern, bias)
+    for r, g in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(g).reshape(r.shape),
+                                   np.asarray(r), rtol=1e-4, atol=1e-6)
+
+
+def test_head_ce_grow_mode_padded_width():
+    """Grow-the-head: width < num_classes — fused pads W/b with zeros and
+    grads slice back to the caller's width (oracle pads logits -inf)."""
+    from cl_tpu.pallas import head_ce
+
+    feats, kern, bias, labels, valid = _head_fixture(seed=23, width=6)
+    ref, _ = _head_oracle(feats, kern, bias, labels, valid, 9)
+    got, _ = head_ce.head_cross_entropy(feats, kern, bias, labels, valid)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    g_ref = jax.grad(
+        lambda k, b: _head_oracle(feats, k, b, labels, valid, 9)[0],
+        argnums=(0, 1))(kern, bias)
+    g_got = jax.grad(
+        lambda k, b: head_ce.head_cross_entropy(
+            feats, k, b, labels, valid)[0],
+        argnums=(0, 1))(kern, bias)
+    assert g_got[0].shape == kern.shape and g_got[1].shape == bias.shape
+    for r, g in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_head_ce_bf16_features():
+    """bf16 features: dx comes back bf16, dW/db stay f32 (the optimizer
+    and params are f32 — SURVEY.md §7 bf16 discipline)."""
+    from cl_tpu.pallas import head_ce
+
+    feats, kern, bias, labels, valid = _head_fixture(seed=24)
+    fb = feats.astype(jnp.bfloat16)
+    got, _ = head_ce.head_cross_entropy(fb, kern, bias, labels, valid)
+    ref, _ = _head_oracle(fb.astype(jnp.float32), kern, bias, labels,
+                          valid, 9)
+    np.testing.assert_allclose(float(got), float(ref), rtol=2e-2)
+    g = jax.grad(
+        lambda f, k, b: head_ce.head_cross_entropy(
+            f, k, b, labels, valid)[0],
+        argnums=(0, 1, 2))(fb, kern, bias)
+    assert g[0].dtype == jnp.bfloat16
+    assert g[1].dtype == jnp.float32 and g[2].dtype == jnp.float32
+
+
+def test_head_ce_odd_pixel_count():
+    """Pixel count not a multiple of the lane block: padded pixels carry
+    ignore_index and contribute nothing."""
+    from cl_tpu.pallas import head_ce
+
+    feats, kern, bias, labels, valid = _head_fixture(seed=25, hw=(1, 5, 7))
+    ref, n_ref = _head_oracle(feats, kern, bias, labels, valid, 9)
+    got, n_got = head_ce.head_cross_entropy(feats, kern, bias, labels,
+                                            valid)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    assert float(n_got) == float(n_ref)
+
+
+def test_head_ce_all_ignored():
+    from cl_tpu.pallas import head_ce
+
+    feats, kern, bias, _, valid = _head_fixture(seed=26)
+    labels = jnp.full(feats.shape[:3], 255, jnp.int32)
+    got, n = head_ce.head_cross_entropy(feats, kern, bias, labels, valid)
+    assert float(got) == 0.0 and float(n) == 1.0
+    g = jax.grad(
+        lambda f: head_ce.head_cross_entropy(
+            f, kern, bias, labels, valid)[0])(feats)
+    assert float(jnp.max(jnp.abs(g))) == 0.0
+
+
+def test_head_ce_train_step_matches_unfused():
+    """The full jitted train step with train.fused_head_ce on vs off:
+    identical loss sequence and near-identical params (f32 sum-order)."""
+    from cl_tpu import train as train_lib
+    from cl_tpu.config import parse_overrides
+    from cl_tpu.data import pipeline, tasks as task_lib
+
+    def run(fused):
+        cfg = parse_overrides([
+            "data.num_classes=7", "data.image_size=32",
+            "data.source_size=40", "data.batch_size=2",
+            "data.train_images_per_task=4", "model.base_channels=8",
+            "method.methods=ewc", "train.data_parallel=false",
+            f"train.fused_head_ce={'true' if fused else 'false'}"])
+        model = train_lib.build_model(cfg)
+        tx = train_lib.build_optimizer(cfg)
+        state = train_lib.init_state(cfg, model, tx)
+        step = train_lib.make_train_step(cfg, model, tx, mesh=None)
+        valid = jnp.asarray(task_lib.valid_class_mask(
+            cfg.data.num_classes,
+            task_lib.seen_classes(cfg.classes_per_task, 0)))
+        out = []
+        for b in pipeline.train_batches(cfg, 0, epoch=0):
+            bb = pipeline.HostBatch(jnp.asarray(b.image),
+                                    jnp.asarray(b.mask),
+                                    jnp.asarray(b.flip))
+            state, aux = step(state, bb, valid)
+            out.append(float(aux["loss"]))
+        return out, state
+
+    l_ref, s_ref = run(False)
+    l_got, s_got = run(True)
+    np.testing.assert_allclose(l_got, l_ref, rtol=1e-5)
+    # Adam's g/√v normalization amplifies f32 sum-order differences on
+    # the first steps; the loss equality above is the math gate, the
+    # param bound only catches gross wiring errors.
+    diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
+                         s_ref.params, s_got.params)
+    assert max(jax.tree.leaves(diffs)) < 1e-3
