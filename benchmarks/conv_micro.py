@@ -1,8 +1,12 @@
 """Per-UNet-level 3x3 conv microbenchmark: XLA emitter vs the lane-packed
 Pallas kernel (fwd and fwd+bwd), on the real chip.
 
-Usage: python benchmarks/conv_micro.py [--bwd]
-Prints one JSON line per (level, impl).
+Usage: python benchmarks/conv_micro.py [--bwd | --dw]
+Prints one JSON line per (level, impl). ``--dw`` isolates the WEIGHT
+gradient (the [K≈2M-contraction, 9·Cin×Cout-output] reduction XLA runs
+at ~0.5–2% MFU — the hybrid-conv candidate: dW is a fusion SINK, so a
+kernel win there cannot be eaten by lost producer/consumer fusion the
+way the fwd/dx replacements were, DESIGN.md §8).
 """
 
 from __future__ import annotations
@@ -58,6 +62,7 @@ def xla_conv(x, k):
 
 def main():
     bwd = "--bwd" in sys.argv
+    dw = "--dw" in sys.argv
     for name, h, w, ci, co in SHAPES:
         x = jnp.asarray(np.random.RandomState(0)
                         .randn(B, h, w, ci).astype(np.float32),
@@ -66,6 +71,26 @@ def main():
                         .randn(3, 3, ci, co).astype(np.float32) * 0.05,
                         jnp.bfloat16)
         flops = 2 * B * h * w * 9 * ci * co
+        if dw:
+            dy = jnp.asarray(np.random.RandomState(2)
+                             .randn(B, h, w, co).astype(np.float32),
+                             jnp.bfloat16)
+
+            def xla_dw(x, dy, k):
+                # exactly the dW conv AD emits (fwd result is DCE'd)
+                return jax.vjp(lambda kk: xla_conv(x, kk), k)[1](dy)[0]
+
+            row = {"conv": name, "shape": [B, h, w, ci, co], "pass": "dw"}
+            t = timeit(jax.jit(xla_dw), x, dy, k)
+            row["xla_ms"] = round(t * 1e3, 3)
+            row["xla_tf"] = round(flops / t / 1e12, 1)
+            if pc.supported(h, w, ci, co):
+                t = timeit(jax.jit(pc._conv_dw_impl), x, dy)
+                row["pallas_ms"] = round(t * 1e3, 3)
+                row["pallas_tf"] = round(flops / t / 1e12, 1)
+                row["p"] = pc.pick_pack(ci, co)
+            print(json.dumps(row), flush=True)
+            continue
         if bwd:
             flops *= 3
 

@@ -105,6 +105,11 @@ class Conv3x3(nn.Module):
                             (3, 3, c_in, self.features), jnp.float32)
         k = kernel.astype(self.dtype)
         x = x.astype(self.dtype)
+        if self.conv_impl == "hybrid":
+            # XLA fwd/dx (same fusion as "xla"), Pallas dW where it wins
+            # (falls back internally elsewhere) — DESIGN.md §8.
+            from cl_tpu.pallas import conv3x3 as pc
+            return pc.conv3x3_hybrid(x, k)
         if self.conv_impl in ("pallas", "auto"):
             from cl_tpu.pallas import conv3x3 as pc
             ok = (pc.profitable if self.conv_impl == "auto"

@@ -355,3 +355,56 @@ def conv3x3_reference(x: jax.Array, w: jax.Array) -> jax.Array:
         x, w, window_strides=(1, 1), padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid conv: XLA forward + dx, Pallas dW (model.conv_impl="hybrid")
+# ---------------------------------------------------------------------------
+#
+# The full-Pallas replacement loses in-step because the custom call breaks
+# XLA's conv↔BN/ReLU producer/consumer fusion on the fwd/dx chains
+# (measured, DESIGN.md §8). dW has no such chain: it is a SINK consumed
+# only by the optimizer, and XLA emits it as a tiny-output
+# [9·Cin, B·H·W]@[B·H·W, Cout] contraction at ~1-2% MFU. The hybrid
+# keeps the fwd and dx convs as plain lax convs (identical fusion
+# opportunities to conv_impl="xla") and routes ONLY dW through the
+# piece-DMA kernel above.
+
+
+def _xla_conv(x, w):
+    return jax.lax.conv_general_dilated(
+        x, w, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def dw_profitable(h: int, w: int, c_in: int, c_out: int) -> bool:
+    """Shapes where the Pallas dW beats XLA's (measured on-chip,
+    ``benchmarks/conv_micro.py --dw``)."""
+    return supported(h, w, c_in, c_out)
+
+
+@jax.custom_vjp
+def conv3x3_hybrid(x: jax.Array, w: jax.Array) -> jax.Array:
+    """3×3 SAME stride-1 conv, NHWC, no bias — XLA fwd/dx, Pallas dW."""
+    return _xla_conv(x, w)
+
+
+def _hybrid_fwd(x, w):
+    return _xla_conv(x, w), (x, w)
+
+
+def _hybrid_bwd(res, dy):
+    x, w = res
+    dy = dy.astype(x.dtype)
+    # dx: the same conv AD's transpose rule emits for SAME/stride-1 —
+    # correlate dy with the spatially flipped, channel-swapped kernel.
+    dx = _xla_conv(dy, jnp.flip(w, (0, 1)).swapaxes(2, 3))
+    b, h, wid, c_in = x.shape
+    if dw_profitable(h, wid, c_in, w.shape[-1]):
+        dw = _conv_dw_impl(x, dy).astype(w.dtype)
+    else:
+        dw = jax.vjp(lambda kk: _xla_conv(x, kk), w)[1](dy)[0]
+    return dx, dw
+
+
+conv3x3_hybrid.defvjp(_hybrid_fwd, _hybrid_bwd)

@@ -143,3 +143,76 @@ def test_unet_pallas_impl_matches_xla():
     gp = jax.grad(loss(mp))(vs["params"])
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         a, b, atol=5e-3, rtol=1e-3), gx, gp)
+
+
+def test_hybrid_conv_matches_ad_oracle():
+    """conv_impl="hybrid": XLA fwd/dx + Pallas dW must match plain lax
+    conv AD — forward bitwise (same lax call), grads at f32 tolerance
+    (dx uses the flipped-kernel formulation; dW the piece-DMA kernel)."""
+    x = _rand((2, 16, 16, 128))
+    w = _rand((3, 3, 128, 32), seed=3)
+    assert pc.dw_profitable(16, 16, 128, 32)
+    np.testing.assert_array_equal(
+        np.asarray(pc.conv3x3_hybrid(x, w)),
+        np.asarray(pc._xla_conv(x, w)))
+
+    def loss_h(x, w):
+        return jnp.sum(pc.conv3x3_hybrid(x, w).astype(jnp.float32) ** 2)
+
+    def loss_o(x, w):
+        return jnp.sum(pc._xla_conv(x, w).astype(jnp.float32) ** 2)
+
+    gh = jax.grad(loss_h, argnums=(0, 1))(x, w)
+    go = jax.grad(loss_o, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(gh[0], go[0], atol=1e-3, rtol=1e-4)
+    np.testing.assert_allclose(gh[1], go[1], atol=1e-2, rtol=1e-4)
+
+
+def test_hybrid_conv_unsupported_shape_falls_back():
+    """dW falls back to XLA's vjp on shapes the kernel rejects — grads
+    must still match the oracle."""
+    x = _rand((1, 6, 10, 3))   # W=10 not divisible by pack
+    w = _rand((3, 3, 3, 32), seed=4)
+    assert not pc.dw_profitable(6, 10, 3, 32)
+
+    def loss_h(x, w):
+        return jnp.sum(pc.conv3x3_hybrid(x, w).astype(jnp.float32) ** 2)
+
+    def loss_o(x, w):
+        return jnp.sum(pc._xla_conv(x, w).astype(jnp.float32) ** 2)
+
+    gh = jax.grad(loss_h, argnums=(0, 1))(x, w)
+    go = jax.grad(loss_o, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(gh[0], go[0], atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(gh[1], go[1], atol=1e-3, rtol=1e-4)
+
+
+def test_unet_hybrid_impl_matches_xla():
+    """Full UNet forward+grad with conv_impl="hybrid" vs "xla"."""
+    from cl_tpu.models.unet import UNet
+
+    x = _rand((1, 32, 32, 3))
+    y = jnp.asarray(np.random.RandomState(9).randint(0, 3, (1, 32, 32)))
+
+    def build(impl):
+        m = UNet(num_classes=3, base_channels=8, norm="group",
+                 conv_impl=impl)
+        v = m.init(jax.random.PRNGKey(0), x, train=False)
+        return m, v
+
+    m_x, v_x = build("xla")
+    m_h, v_h = build("hybrid")
+
+    def loss(m, v):
+        def f(params):
+            logits = m.apply({"params": params}, x, train=False)
+            oh = jax.nn.one_hot(y, 3)
+            return -jnp.mean(jax.nn.log_softmax(logits) * oh)
+        return jax.value_and_grad(f)(v["params"])
+
+    lx, gx = loss(m_x, v_x)
+    lh, gh = loss(m_h, v_h)
+    np.testing.assert_allclose(float(lh), float(lx), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(gx), jax.tree.leaves(gh)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3)
