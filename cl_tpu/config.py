@@ -142,12 +142,15 @@ class TrainConfig:
     pallas_augment: bool = False
     # Fused 1×1-head + CE kernel (pallas/head_ce.py): the train loss
     # computes head logits tile-wise in VMEM instead of materializing the
-    # [B,H,W,C] logit tensor in HBM (~7.3→~2 ms of the 512² step,
-    # DESIGN.md §8). Applies when use_pallas is on and LwF is off (KD
-    # needs materialized logits) and spatial_parallel is off. Train-loss
+    # [B,H,W,C] logit tensor in HBM (DESIGN.md §8). Applies when
+    # use_pallas is on and LwF is off (KD needs materialized logits) and
+    # spatial_parallel is off. "auto" (default) enables it where it
+    # measured faster — base_channels ≤ 32 (+2.3% at 512²/32ch; at
+    # 256²/64ch the class-major feature transposes outweigh the saved
+    # logits traffic, −2.7%). "true"/"false" force it. Train-loss
     # numerics: f32 matmul accumulation instead of XLA's bf16-conv
     # rounding — same f32 CE arithmetic, oracle-tested.
-    fused_head_ce: bool = True
+    fused_head_ce: str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -363,12 +363,14 @@ def conv3x3_reference(x: jax.Array, w: jax.Array) -> jax.Array:
 #
 # The full-Pallas replacement loses in-step because the custom call breaks
 # XLA's conv↔BN/ReLU producer/consumer fusion on the fwd/dx chains
-# (measured, DESIGN.md §8). dW has no such chain: it is a SINK consumed
-# only by the optimizer, and XLA emits it as a tiny-output
-# [9·Cin, B·H·W]@[B·H·W, Cout] contraction at ~1-2% MFU. The hybrid
-# keeps the fwd and dx convs as plain lax convs (identical fusion
-# opportunities to conv_impl="xla") and routes ONLY dW through the
-# piece-DMA kernel above.
+# (measured, DESIGN.md §8). dW has no such chain — it is a SINK consumed
+# only by the optimizer — so this hybrid keeps the fwd and dx convs as
+# plain lax convs and routes ONLY dW through the piece-DMA kernel.
+#
+# MEASURED NEGATIVE (conv_micro.py --dw, b8 bf16, DESIGN.md §8): XLA's
+# standalone dW reaches 7.7–17 TF/s at the UNet shapes and the Pallas dW
+# loses or ties everywhere (enc0b 5.53 vs 5.00 ms, dec0a 8.34 vs 5.07).
+# Kept as an opt-in reference implementation; "xla" stays the default.
 
 
 def _xla_conv(x, w):
@@ -378,8 +380,10 @@ def _xla_conv(x, w):
 
 
 def dw_profitable(h: int, w: int, c_in: int, c_out: int) -> bool:
-    """Shapes where the Pallas dW beats XLA's (measured on-chip,
-    ``benchmarks/conv_micro.py --dw``)."""
+    """Shapes routed to the Pallas dW under conv_impl="hybrid" — i.e.
+    every kernel-supported shape, so the opt-in exercises the kernel.
+    Measured on-chip (``conv_micro.py --dw``): XLA wins or ties them all,
+    which is why "hybrid" is NOT the default (DESIGN.md §8)."""
     return supported(h, w, c_in, c_out)
 
 

@@ -179,8 +179,11 @@ def make_train_step(cfg: Config, model: UNet, tx,
     # Fused head+CE (pallas/head_ce.py): logits never materialize in HBM.
     # LwF needs the full logit tensor for KD, and the spatial forward
     # returns stitched logits, so both fall back to the unfused path.
+    fh = str(cfg.train.fused_head_ce).lower()
+    fh_on = (cfg.model.base_channels <= 32 if fh == "auto"
+             else fh in ("true", "on", "1"))
     use_fused_head = (use_pallas and not use_lwf and spatial_mesh is None
-                      and cfg.train.fused_head_ce)
+                      and fh_on)
     ce_sharded = kd_sharded = head_ce_sharded = None
     if use_fused_head and mesh is not None:
         from jax.sharding import PartitionSpec as P
