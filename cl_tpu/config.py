@@ -59,12 +59,17 @@ class ModelConfig:
     # bounds jit recompiles to 1 instead of T. Set False for the
     # grow-the-head variant (recompiles once per task).
     padded_head: bool = True
-    # 3x3-conv implementation: "xla" = lax conv; "pallas" = the
-    # lane-packed in-kernel-DMA kernel (pallas/conv3x3.py) on all
-    # supported shapes; "auto" = pallas only on the measured-win
-    # channel-doubling encoder shapes (conv3x3.profitable). XLA stays
-    # the default: even "auto" loses ~4 ms/step to broken conv<->BN/ReLU
-    # fusion + halo pads (measured verdict, DESIGN.md §8).
+    # 3x3-conv implementation: "xla" = lax conv; "v3" = the gen-3
+    # zero-prep Pallas kernel (pallas/conv3x3_v3.py — no halo pad, DMA
+    # row halos, block-shift column halos) on all supported shapes;
+    # "auto" = v3 only on the measured-win large-spatial levels
+    # (conv3x3_v3.profitable); "pallas" = the gen-2 in-kernel-DMA
+    # kernel (pallas/conv3x3.py, kept for comparison); "hybrid" = XLA
+    # fwd/dx + gen-2 Pallas dW. The gen-3 kernel beats XLA's emitter
+    # standalone fwd AND bwd (1.9x at 512²x32ch), but in-step the
+    # custom-call boundary still breaks conv<->BN fusion — XLA stays
+    # the default for the plain model; the packed-level path is where
+    # v3 pays (DESIGN.md §8).
     conv_impl: str = "xla"
     # k=2/s=2 transposed-conv implementation: "xla" = nn.ConvTranspose;
     # "matmul" = one einsum + pixel shuffle with the SAME param tree (the

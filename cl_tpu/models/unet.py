@@ -110,11 +110,19 @@ class Conv3x3(nn.Module):
             # (falls back internally elsewhere) — DESIGN.md §8.
             from cl_tpu.pallas import conv3x3 as pc
             return pc.conv3x3_hybrid(x, k)
-        if self.conv_impl in ("pallas", "auto"):
-            from cl_tpu.pallas import conv3x3 as pc
-            ok = (pc.profitable if self.conv_impl == "auto"
-                  else pc.supported)
+        if self.conv_impl in ("v3", "auto"):
+            # Gen-3 zero-prep kernel: free-reshape input, DMA row halo,
+            # block-shift column halo. Measured faster than the XLA
+            # emitter fwd AND bwd on every supported shape
+            # (DESIGN.md §8, chain benchmarks).
+            from cl_tpu.pallas import conv3x3_v3 as pc3
+            ok = (pc3.profitable if self.conv_impl == "auto"
+                  else pc3.supported)
             if ok(x.shape[1], x.shape[2], c_in, self.features):
+                return pc3.conv3x3(x, k)
+        if self.conv_impl == "pallas":
+            from cl_tpu.pallas import conv3x3 as pc
+            if pc.supported(x.shape[1], x.shape[2], c_in, self.features):
                 return pc.conv3x3(x, k)
         return jax.lax.conv_general_dilated(
             x, k, window_strides=(1, 1), padding="SAME",

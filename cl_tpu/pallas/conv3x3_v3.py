@@ -1,0 +1,412 @@
+"""Lane-packed 3×3 SAME conv, generation 3: ZERO XLA-side preparation.
+
+Gen 2 (`conv3x3.py`) beat XLA's emitter on kernel device time (0.84 ms vs
+1.79 ms for the 512²×32→32 forward) but lost in-step because its halo
+came from an XLA `pad` of the flat rows — measured ~2.2 ms/call at 512²
+(a 134 MB lane-shift relayout; `benchmarks/probe_reduce_dw.py` and
+DESIGN.md §8).  This generation removes ALL host-graph preparation:
+
+* The input is consumed as ``x.reshape(b, h, wg, lanes)`` — a FREE
+  reshape (row-major order and the minor 128-lane dim are unchanged).
+* The row halo comes from the DMA itself: each grid tile copies image
+  rows ``[jh·th−1, jh·th+th+1)``; the first/last tiles use statically
+  predicated shorter copies and zero the missing halo row in VMEM.
+* The column halo comes from ±1 BLOCK-ROW SHIFTS of the flat VMEM view:
+  group g's union window is [last c_in lanes of group g−1 | group g |
+  first c_in lanes of group g+1], i.e. flat rows r−1 / r / r+1 with
+  lane sub-ranges.  The left/right image borders (g = 0 / wg−1) read a
+  neighbouring row's data there, so those rows are zero-masked with an
+  iota mask before the dot — the SAME-padding zeros, made in-register.
+
+The contraction is split per (kernel row u, piece A/B/C) against the
+matching row block of the packed weights W' (`conv3x3.pack_weights`,
+window offset −c_in, identical layout), so each dot is a plain
+[th·wg, K] @ [K, p·c_out] MXU matmul with K ∈ {c_in, lanes, c_in}.
+
+All three passes use the same tile loader:
+  * forward:  y += A@W'_A + B@W'_B + C@W'_C
+  * dx:       forward kernel on dy with the flipped/transposed kernel
+  * dW:       pieceᵀ @ dy accumulated into a [3k, p·c_out] f32 VMEM
+              accumulator across the sequential grid, written once.
+
+Capability parity: `nn.Conv(features, (3,3), padding="SAME",
+use_bias=False)` — the reference UNet's conv (SURVEY.md §2.1 "UNet",
+§3.2).  Interpret mode runs on CPU for the unit/parity suites.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cl_tpu.pallas import common
+from cl_tpu.pallas.conv3x3 import pick_pack, pack_weights, _fold_dw
+
+_VMEM_BUDGET = 12 * 1024 * 1024  # of Mosaic's 16 MB scoped-VMEM stack
+
+
+def _vmem_estimate(th, wg, lanes, k, p, c_out, itemsize) -> int:
+    """Generous scoped-VMEM accounting for one grid step: double-buffered
+    input scratch + double-buffered packed-weight block + output block +
+    the three masked piece copies + the f32 accumulator."""
+    rows = th * wg
+    return (2 * (th + 4) * wg * lanes * itemsize      # input scratch
+            + 2 * 3 * k * p * c_out * itemsize        # W' block
+            + 2 * th * wg * p * c_out * itemsize      # out block
+            + 3 * rows * lanes * itemsize             # pieces
+            + rows * p * c_out * 4)                   # f32 acc
+
+
+def _pick_th(h: int, wg: int, lanes: int, itemsize: int,
+             k: int = 0, p: int = 1, c_out: int = 0) -> int:
+    """Rows per grid tile: a divisor of h (multiple of 8, or h itself for
+    small images), targeting ~2048 dot rows, shrunk until the scoped-VMEM
+    estimate fits.  Returns 0 if nothing fits."""
+    if h <= 16:
+        th = h
+        if _vmem_estimate(th, wg, lanes, k, p, c_out, itemsize) \
+                <= _VMEM_BUDGET:
+            return th
+        return 0
+    th = min(h, max(8, (2048 // max(1, wg)) // 8 * 8))
+    while th >= 8:
+        if h % th == 0 and _vmem_estimate(
+                th, wg, lanes, k, p, c_out, itemsize) <= _VMEM_BUDGET:
+            return th
+        th -= 8
+    return 0
+
+
+def supported(h: int, w: int, c_in: int, c_out: int,
+              itemsize: int = 2) -> bool:
+    p = pick_pack(c_in, c_out)
+    lanes = p * c_in
+    k = (p + 2) * c_in
+    if lanes % 128 or w % p:
+        return False
+    wg = w // p
+    # wg must be a power of two (boundary masks use `& (wg-1)`) and a
+    # multiple of 8 (free flat-view reshape), and c_in sublane-aligned.
+    if wg < 8 or wg & (wg - 1) or c_in % 8 or c_in < 8 or h < 2:
+        return False
+    if h > 16 and h % 8:
+        return False
+    return _pick_th(h, wg, lanes, itemsize, k, p, c_out) > 0
+
+
+def profitable(h: int, w: int, c_in: int, c_out: int) -> bool:
+    """Measured-win shapes for ``model.conv_impl="auto"`` routing: the
+    lane-starved large-spatial levels (chain A/B, DESIGN.md §8 — 1.9x at
+    512²×32ch, 1.35x at 256²×64ch; deeper levels run at big tiles on
+    XLA's emitter and tie or lose)."""
+    return supported(h, w, c_in, c_out) and h * w >= 256 * 256
+
+
+def _geometry(h, wid, c_in, c_out, itemsize):
+    p = pick_pack(c_in, c_out)
+    wg = wid // p
+    lanes = p * c_in
+    k = (p + 2) * c_in
+    th = _pick_th(h, wg, lanes, itemsize, k, p, c_out)
+    assert th > 0, "caller must gate on supported()"
+    nh = h // th
+    return p, wg, th, nh, lanes, k
+
+
+def _start_dma(xp_ref, scratch, sems, slot, idx, *, nh, th):
+    """Start the row-halo DMA for grid step ``idx`` into ``slot``.
+
+    v[1+i] = image row jh·th−1+i.  Interior tiles copy th+2 rows; the
+    first/last tiles copy one fewer (the missing halo row is zeroed at
+    compute time)."""
+    ib = idx // nh
+    jh = idx % nh
+    if nh == 1:
+        pltpu.make_async_copy(
+            xp_ref.at[ib, pl.ds(0, th)],
+            scratch.at[slot, pl.ds(2, th)], sems.at[slot]).start()
+        return
+
+    @pl.when(jh == 0)
+    def _():
+        pltpu.make_async_copy(
+            xp_ref.at[ib, pl.ds(0, th + 1)],
+            scratch.at[slot, pl.ds(2, th + 1)], sems.at[slot]).start()
+
+    @pl.when(jnp.logical_and(jh > 0, jh < nh - 1))
+    def _():
+        pltpu.make_async_copy(
+            xp_ref.at[ib, pl.ds(jh * th - 1, th + 2)],
+            scratch.at[slot, pl.ds(1, th + 2)], sems.at[slot]).start()
+
+    @pl.when(jh == nh - 1)
+    def _():
+        pltpu.make_async_copy(
+            xp_ref.at[ib, pl.ds(jh * th - 1, th + 1)],
+            scratch.at[slot, pl.ds(1, th + 1)], sems.at[slot]).start()
+
+
+def _wait_dma(xp_ref, scratch, sems, *, nh, th):
+    """Double-buffer bookkeeping; returns the ready slot after zeroing
+    any missing halo rows of this tile."""
+    idx = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(idx == 0)
+    def _():
+        _start_dma(xp_ref, scratch, sems, 0, 0, nh=nh, th=th)
+
+    @pl.when(idx + 1 < n)
+    def _():
+        _start_dma(xp_ref, scratch, sems, (idx + 1) % 2, idx + 1,
+                   nh=nh, th=th)
+
+    slot = idx % 2
+    jh = idx % nh
+    # The wait must mirror the copy shape the start used, so it is
+    # predicated identically (the semaphore is shared per slot).
+    _wait_variant(xp_ref, scratch, sems, slot, idx, nh=nh, th=th)
+
+    @pl.when(jh == 0)
+    def _():
+        scratch[slot, 1] = jnp.zeros_like(scratch[slot, 1])
+
+    @pl.when(jh == nh - 1)
+    def _():
+        scratch[slot, th + 2] = jnp.zeros_like(scratch[slot, th + 2])
+    return slot
+
+
+def _wait_variant(xp_ref, scratch, sems, slot, idx, *, nh, th):
+    """Wait for the slot's DMA.  The wait must match the copy shape the
+    start used, so it is predicated the same way."""
+    ib = idx // nh
+    jh = idx % nh
+    if nh == 1:
+        pltpu.make_async_copy(
+            xp_ref.at[ib, pl.ds(0, th)],
+            scratch.at[slot, pl.ds(2, th)], sems.at[slot]).wait()
+        return
+
+    @pl.when(jh == 0)
+    def _():
+        pltpu.make_async_copy(
+            xp_ref.at[ib, pl.ds(0, th + 1)],
+            scratch.at[slot, pl.ds(2, th + 1)], sems.at[slot]).wait()
+
+    @pl.when(jnp.logical_and(jh > 0, jh < nh - 1))
+    def _():
+        pltpu.make_async_copy(
+            xp_ref.at[ib, pl.ds(jh * th - 1, th + 2)],
+            scratch.at[slot, pl.ds(1, th + 2)], sems.at[slot]).wait()
+
+    @pl.when(jh == nh - 1)
+    def _():
+        pltpu.make_async_copy(
+            xp_ref.at[ib, pl.ds(jh * th - 1, th + 1)],
+            scratch.at[slot, pl.ds(1, th + 1)], sems.at[slot]).wait()
+
+
+def _pieces(vflat, u, *, th, wg, lanes, c_in, dtype):
+    """The three block-aligned window pieces for kernel row ``u``:
+    A (left halo, c_in lanes), B (center, `lanes`), C (right halo).
+    Image-border rows of A/C are zero-masked in-register."""
+    base = (u + 1) * wg
+    rows = th * wg
+    pb = vflat[base:base + rows]
+    va = vflat[base - 1:base - 1 + rows, lanes - c_in:]
+    vc = vflat[base + 1:base + 1 + rows, :c_in]
+    # Border masks vary only along rows — keep them [rows, 1] and let
+    # `where` broadcast across lanes (a full-width int32 iota is 4 MB of
+    # scoped VMEM at deep-decoder shapes).
+    rid = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    ga = (rid & (wg - 1)) != 0
+    gc = (rid & (wg - 1)) != (wg - 1)
+    zero = jnp.zeros((), dtype)
+    pa = jnp.where(ga, va, zero)
+    pc = jnp.where(gc, vc, zero)
+    return pa, pb, pc
+
+
+def _fwd_kernel(xp_ref, w_ref, y_ref, scratch, sems, *, nh, th, wg,
+                lanes, k, c_in):
+    slot = _wait_dma(xp_ref, scratch, sems, nh=nh, th=th)
+    vflat = scratch[slot].reshape((th + 4) * wg, lanes)
+    acc = None
+    for u in range(3):
+        pa, pb, pc = _pieces(vflat, u, th=th, wg=wg, lanes=lanes,
+                             c_in=c_in, dtype=xp_ref.dtype)
+        r0 = u * k
+        for patch, lo, hi in ((pa, r0, r0 + c_in),
+                              (pb, r0 + c_in, r0 + c_in + lanes),
+                              (pc, r0 + c_in + lanes, r0 + k)):
+            d = jax.lax.dot_general(
+                patch, w_ref[lo:hi, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+    y_ref[0] = acc.reshape(th, wg, y_ref.shape[-1]).astype(y_ref.dtype)
+
+
+def _dw_kernel(xp_ref, dy_ref, dw_ref, scratch, sems, acc, *, nh, th, wg,
+               lanes, k, c_in):
+    slot = _wait_dma(xp_ref, scratch, sems, nh=nh, th=th)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    vflat = scratch[slot].reshape((th + 4) * wg, lanes)
+    dy2 = dy_ref[0].reshape(th * wg, dy_ref.shape[-1])
+    for u in range(3):
+        pa, pb, pc = _pieces(vflat, u, th=th, wg=wg, lanes=lanes,
+                             c_in=c_in, dtype=xp_ref.dtype)
+        r0 = u * k
+        for patch, lo, hi in ((pa, r0, r0 + c_in),
+                              (pb, r0 + c_in, r0 + c_in + lanes),
+                              (pc, r0 + c_in + lanes, r0 + k)):
+            acc[lo:hi] += jax.lax.dot_general(
+                patch, dy2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        dw_ref[:] = acc[:]
+
+
+def _fwd_packed(xp: jax.Array, w: jax.Array) -> jax.Array:
+    """Packed-view forward: xp [b, h, wg, lanes] → y [b, h, wg, p·c_out]
+    (both the kernel's native lane-packed views; see conv3x3_packed)."""
+    b, h, wg_in, lanes_in = xp.shape
+    c_in = w.shape[2]
+    c_out = w.shape[-1]
+    wid = wg_in * lanes_in // c_in
+    p, wg, th, nh, lanes, k = _geometry(h, wid, c_in, c_out,
+                                        xp.dtype.itemsize)
+    assert (wg_in, lanes_in) == (wg, lanes), \
+        f"packed view mismatch: got {(wg_in, lanes_in)} want {(wg, lanes)}"
+    wp = pack_weights(w, p)
+    y = pl.pallas_call(
+        functools.partial(_fwd_kernel, nh=nh, th=th, wg=wg, lanes=lanes,
+                          k=k, c_in=c_in),
+        grid=(b * nh,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((3 * k, p * c_out), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, th, wg, p * c_out),
+                               lambda i: (i, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * nh, th, wg, p * c_out),
+                                       xp.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 4, wg, lanes), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=common.interpret_mode(),
+    )(xp, wp)
+    return y.reshape(b, h, wg, p * c_out)
+
+
+def _conv_fwd_impl(x: jax.Array, w: jax.Array) -> jax.Array:
+    b, h, wid, c_in = x.shape
+    c_out = w.shape[-1]
+    p, wg, _, _, lanes, _ = _geometry(h, wid, c_in, c_out,
+                                      x.dtype.itemsize)
+    y = _fwd_packed(x.reshape(b, h, wg, lanes), w)
+    return y.reshape(b, h, wid, c_out)
+
+
+def _dw_packed(xp: jax.Array, dyp4: jax.Array, c_in: int) -> jax.Array:
+    """Packed-view dW: xp [b,h,wg,lanes], dyp4 [b,h,wg,p·c_out] →
+    dW [3,3,c_in,c_out] (f32)."""
+    b, h, wg_in, lanes_in = xp.shape
+    wid = wg_in * lanes_in // c_in
+    c_out = dyp4.shape[-1] // (lanes_in // c_in)   # lanes/c_in == p
+    p, wg, th, nh, lanes, k = _geometry(h, wid, c_in, c_out,
+                                        xp.dtype.itemsize)
+    assert (wg_in, lanes_in) == (wg, lanes)
+    dyp = dyp4.reshape(b * nh, th, wg, p * c_out)
+    dwp = pl.pallas_call(
+        functools.partial(_dw_kernel, nh=nh, th=th, wg=wg, lanes=lanes,
+                          k=k, c_in=c_in),
+        grid=(b * nh,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, th, wg, p * c_out), lambda i: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((3 * k, p * c_out), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((3 * k, p * c_out), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 4, wg, lanes), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((3 * k, p * c_out), jnp.float32),
+        ],
+        interpret=common.interpret_mode(),
+    )(xp, dyp)
+    return _fold_dw(dwp, p, c_in, c_out)
+
+
+def _conv_dw_impl(x: jax.Array, dy: jax.Array) -> jax.Array:
+    b, h, wid, c_in = x.shape
+    c_out = dy.shape[-1]
+    p, wg, _, _, lanes, _ = _geometry(h, wid, c_in, c_out,
+                                      x.dtype.itemsize)
+    return _dw_packed(x.reshape(b, h, wg, lanes),
+                      dy.reshape(b, h, wg, p * c_out), c_in)
+
+
+@jax.custom_vjp
+def conv3x3_packed(xp: jax.Array, w: jax.Array) -> jax.Array:
+    """Packed-domain conv: xp [b,h,wg,p·c_in] → [b,h,wg,p·c_out], both
+    the kernel-native lane-packed views (free reshapes of NHWC).  Lets a
+    whole UNet level run packed — conv, BN stats (packed column reduce +
+    p-fold), ReLU — with NO layout round-trips between ops."""
+    return _fwd_packed(xp, w)
+
+
+def _cp_fwd(xp, w):
+    return _fwd_packed(xp, w), (xp, w)
+
+
+def _cp_bwd(res, dyp):
+    xp, w = res
+    dyp = dyp.astype(xp.dtype)
+    c_in = w.shape[2]
+    c_out = w.shape[3]
+    # dx: forward kernel on the packed dy with the flipped/transposed
+    # kernel.  dy's packed view [*, p·c_out] must equal the dx conv's
+    # native input view [*, p'·c_out]; p' == p for every UNet shape
+    # (asserted inside _fwd_packed).
+    w_dx = jnp.flip(w, (0, 1)).swapaxes(2, 3)
+    dxp = _fwd_packed(dyp, w_dx)
+    dw = _dw_packed(xp, dyp, c_in).astype(w.dtype)
+    return dxp, dw
+
+
+conv3x3_packed.defvjp(_cp_fwd, _cp_bwd)
+
+
+@jax.custom_vjp
+def conv3x3(x: jax.Array, w: jax.Array) -> jax.Array:
+    """3×3 SAME stride-1 conv, NHWC, no bias (gen-3 no-prep kernel)."""
+    return _conv_fwd_impl(x, w)
+
+
+def _conv_fwd(x, w):
+    return _conv_fwd_impl(x, w), (x, w)
+
+
+def _conv_bwd(res, dy):
+    x, w = res
+    dy = dy.astype(x.dtype)
+    w_dx = jnp.flip(w, (0, 1)).swapaxes(2, 3)
+    dx = _conv_fwd_impl(dy, w_dx)
+    dw = _conv_dw_impl(x, dy).astype(w.dtype)
+    return dx, dw
+
+
+conv3x3.defvjp(_conv_fwd, _conv_bwd)
