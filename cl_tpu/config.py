@@ -71,6 +71,13 @@ class ModelConfig:
     # the default for the plain model; the packed-level path is where
     # v3 pays (DESIGN.md §8).
     conv_impl: str = "xla"
+    # Packed-domain UNet: run the leading levels entirely on lane-packed
+    # views — gen-3 packed convs, PackedBatchNorm (analytic VJP), packed
+    # pool and transposed conv, concat distributed over the decoder's
+    # split convs — so no layout round-trips exist between ops
+    # (models/unet.py::UNet._packed_body; DESIGN.md §8). Single-device
+    # only (Pallas custom calls don't partition under a mesh).
+    packed_unet: bool = False
     # k=2/s=2 transposed-conv implementation: "xla" = nn.ConvTranspose;
     # "matmul" = one einsum + pixel shuffle with the SAME param tree (the
     # no-overlap case is a single tap per output pixel). Measured A/B at

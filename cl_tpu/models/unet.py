@@ -162,8 +162,144 @@ class UpConv2x2(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+_BN_EPS = 1e-5
+_BN_MOMENTUM = 0.9
+
+
+@jax.custom_vjp
+def _bn_relu_train(yp, mu, var, gamma_l, beta_l):
+    """Fused train-mode BN-apply + ReLU on a lane-packed view.
+
+    ``yp`` is [B,H,G,L] with L = p·C (p spatial positions per lane
+    group); ``mu``/``var`` are the batch stats [C] computed FROM yp;
+    ``gamma_l``/``beta_l`` are the scale/shift pre-tiled to [L].  The
+    custom VJP implements the full train-mode BatchNorm gradient
+    (including the μ/σ² paths) analytically in TWO passes — one fused
+    pair of packed column reduces and one elementwise pass — instead of
+    the 4+ passes AD emits; μ/var receive zero cotangent because their
+    contribution is baked into dyp (valid precisely because they are
+    yp's own batch stats — the eval path below uses plain AD)."""
+    zp, _ = _bn_relu_fwd_impl(yp, mu, var, gamma_l, beta_l)
+    return zp
+
+
+def _bn_relu_fwd_impl(yp, mu, var, gamma_l, beta_l):
+    c = mu.shape[0]
+    p = gamma_l.shape[0] // c
+    r = jax.lax.rsqrt(var + _BN_EPS)
+    scale_l = jnp.tile(r, p) * gamma_l
+    shift_l = beta_l - jnp.tile(mu * r, p) * gamma_l
+    t = yp.astype(jnp.float32) * scale_l + shift_l
+    zp = jnp.maximum(t, 0.0).astype(yp.dtype)
+    return zp, (yp, mu, var, gamma_l, beta_l)
+
+
+def _bn_relu_bwd_impl(res, dz):
+    yp, mu, var, gamma_l, beta_l = res
+    c = mu.shape[0]
+    p = gamma_l.shape[0] // c
+    n = yp.shape[0] * yp.shape[1] * yp.shape[2] * p
+    r = jax.lax.rsqrt(var + _BN_EPS)
+    r_l = jnp.tile(r, p)
+    mu_l = jnp.tile(mu, p)
+    yf = yp.astype(jnp.float32)
+    yhat = (yf - mu_l) * r_l
+    mask = (yhat * gamma_l + beta_l) > 0
+    g = jnp.where(mask, dz.astype(jnp.float32), 0.0)
+    # one fused pair of packed column reduces
+    s1_l = jnp.sum(g, axis=(0, 1, 2))
+    s2_l = jnp.sum(g * yhat, axis=(0, 1, 2))
+    s1 = s1_l.reshape(p, c).sum(0)
+    s2 = s2_l.reshape(p, c).sum(0)
+    # one elementwise pass: full BN gradient incl. the stats paths
+    gam_c = gamma_l.reshape(p, c)[0]
+    coef = r * gam_c
+    dyp = (jnp.tile(coef, p) * (g - (jnp.tile(s1, p)
+                                     + yhat * jnp.tile(s2, p)) / n)
+           ).astype(yp.dtype)
+    # per-lane cotangents; the upstream tile()'s own vjp folds them to [C]
+    return (dyp, jnp.zeros_like(mu), jnp.zeros_like(var), s2_l, s1_l)
+
+
+def _bn_relu_fwd(yp, mu, var, gamma_l, beta_l):
+    return _bn_relu_fwd_impl(yp, mu, var, gamma_l, beta_l)
+
+
+_bn_relu_train.defvjp(_bn_relu_fwd, _bn_relu_bwd_impl)
+
+
+class PackedBatchNorm(nn.Module):
+    """BatchNorm + ReLU on a lane-packed [B,H,G,p·C] view.
+
+    Variable tree is IDENTICAL to ``nn.BatchNorm`` (params ``scale``/
+    ``bias``, batch_stats ``mean``/``var``, all [C] f32) so checkpoints
+    and the torch importer are layout-agnostic.  Stats are computed from
+    the packed view (column reduce + p-fold — numerically the same mean/
+    fast-variance as flax over NHWC, different f32 association only).
+    Train-mode backward goes through the analytic two-pass custom VJP
+    above; eval mode is plain elementwise on running stats."""
+
+    features: int
+    pack: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, yp, *, train: bool):
+        c, p = self.features, self.pack
+        gamma = self.param("scale", nn.initializers.ones_init(), (c,),
+                           jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros_init(), (c,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        gamma_l = jnp.tile(gamma, p)
+        beta_l = jnp.tile(beta, p)
+        if not train:
+            r = jax.lax.rsqrt(ra_var.value + _BN_EPS)
+            scale_l = jnp.tile(r, p) * gamma_l
+            shift_l = beta_l - jnp.tile(ra_mean.value * r, p) * gamma_l
+            t = yp.astype(jnp.float32) * scale_l + shift_l
+            return jnp.maximum(t, 0.0).astype(yp.dtype)
+        yf = yp.astype(jnp.float32)
+        n = yp.shape[0] * yp.shape[1] * yp.shape[2] * p
+        s1 = jnp.sum(yf, axis=(0, 1, 2)).reshape(p, c).sum(0)
+        s2 = jnp.sum(yf * yf, axis=(0, 1, 2)).reshape(p, c).sum(0)
+        mu = s1 / n
+        var = s2 / n - mu * mu
+        if not self.is_initializing():
+            ra_mean.value = (_BN_MOMENTUM * ra_mean.value
+                             + (1.0 - _BN_MOMENTUM) * mu)
+            ra_var.value = (_BN_MOMENTUM * ra_var.value
+                            + (1.0 - _BN_MOMENTUM) * var)
+        return _bn_relu_train(yp, mu, var, gamma_l, beta_l)
+
+
+def packed_level_geometry(h, w, c_in, features, conv_impl):
+    """The packed-domain gate for a DoubleConv level: both convs must be
+    kernel-routable at a UNIFORM pack view (conv0's packed output view ==
+    conv1's native input view).  Returns (p, wg, lanes_in) or None."""
+    from cl_tpu.pallas import conv3x3_v3 as pc3
+    ok = pc3.profitable if conv_impl == "auto" else pc3.supported
+    if not (ok(h, w, c_in, features) and ok(h, w, features, features)):
+        return None
+    p0 = pc3.pick_pack(c_in, features)
+    p1 = pc3.pick_pack(features, features)
+    if p0 != p1:
+        return None
+    return p0, w // p0, p0 * c_in
+
+
 class DoubleConv(nn.Module):
-    """(conv3x3 → norm → ReLU) × 2."""
+    """(conv3x3 → norm → ReLU) × 2.
+
+    With ``conv_impl`` "v3"/"auto" on batch-norm levels whose geometry
+    the gen-3 kernel supports, the WHOLE level runs in the lane-packed
+    domain — conv (pallas), BN stats (packed column reduces), normalize
+    + ReLU (elementwise) — entering and leaving through free reshapes,
+    so no layout round-trips exist between the level's ops (the in-step
+    cost that made per-conv kernel routing a net loss, DESIGN.md §8)."""
 
     features: int
     norm: str = "batch"
@@ -172,6 +308,12 @@ class DoubleConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool):
+        if (self.conv_impl in ("v3", "auto") and self.norm == "batch"):
+            geo = packed_level_geometry(x.shape[1], x.shape[2],
+                                        x.shape[-1], self.features,
+                                        self.conv_impl)
+            if geo is not None:
+                return self._packed(x, geo, train=train)
         for i in range(2):
             x = Conv3x3(self.features, conv_impl=self.conv_impl,
                         dtype=self.dtype, name=f"conv{i}")(x)
@@ -186,6 +328,150 @@ class DoubleConv(nn.Module):
             x = nn.relu(x)
         return x
 
+    def _packed(self, x, geo, *, train: bool):
+        from cl_tpu.pallas import conv3x3_v3 as pc3
+        p, wg, lanes = geo
+        b, h, w, c_in = x.shape
+        xp = x.astype(self.dtype).reshape(b, h, wg, lanes)
+        for i in range(2):
+            ci = c_in if i == 0 else self.features
+            k = Conv3x3Param(self.features, ci, name=f"conv{i}")()
+            yp = pc3.conv3x3_packed(xp, k.astype(self.dtype))
+            xp = PackedBatchNorm(self.features, p, dtype=self.dtype,
+                                 name=f"bn{i}")(yp, train=train)
+        return xp.reshape(b, h, w, self.features)
+
+
+class Conv3x3Param(nn.Module):
+    """Parameter-only holder producing the same ``conv{i}/kernel`` tree
+    as :class:`Conv3x3` for the packed-level path."""
+
+    features: int
+    c_in: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (3, 3, self.c_in, self.features), jnp.float32)
+
+
+class PackedLevel(nn.Module):
+    """One UNet DoubleConv level executed entirely on lane-packed views
+    at a UNIFORM pack factor ``p`` (conv_impl v3 packed kernels +
+    PackedBatchNorm).  Variable tree identical to :class:`DoubleConv`
+    with batch norm.  Modes:
+
+      * ``stem``:  conv0 is the RGB stem (XLA NHWC conv + nn.BatchNorm +
+        ReLU — c_in=3 is not kernel-packable), then packs and runs conv1
+        in the packed domain.
+      * ``plain``: both convs packed; input is the packed view.
+      * ``split``: decoder entry — conv0's channel-concat input arrives
+        as the TWO packed operands (skip, up) and the conv distributes
+        over the concat: conv(cat(s,u), W) = conv(s, W_s) + conv(u, W_u),
+        so the concatenated tensor never materializes.
+    """
+
+    features: int
+    c_in: int
+    p: int
+    mode: str = "plain"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        from cl_tpu.pallas import conv3x3_v3 as pc3
+        if self.mode == "stem":
+            y = Conv3x3(self.features, conv_impl="xla", dtype=self.dtype,
+                        name="conv0")(x)
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             param_dtype=jnp.float32, name="bn0")(y)
+            y = nn.relu(y)
+            b, h, w, cc = y.shape
+            xp = y.reshape(b, h, w // self.p, self.p * cc)
+        elif self.mode == "split":
+            skip_p, up_p = x
+            k0 = Conv3x3Param(self.features, 2 * self.features,
+                              name="conv0")()
+            ks = k0[:, :, :self.features].astype(self.dtype)
+            ku = k0[:, :, self.features:].astype(self.dtype)
+            yp = (pc3.conv3x3_packed(skip_p, ks, self.p)
+                  + pc3.conv3x3_packed(up_p, ku, self.p))
+            xp = PackedBatchNorm(self.features, self.p, dtype=self.dtype,
+                                 name="bn0")(yp, train=train)
+        else:
+            k0 = Conv3x3Param(self.features, self.c_in, name="conv0")()
+            yp = pc3.conv3x3_packed(x, k0.astype(self.dtype), self.p)
+            xp = PackedBatchNorm(self.features, self.p, dtype=self.dtype,
+                                 name="bn0")(yp, train=train)
+        k1 = Conv3x3Param(self.features, self.features, name="conv1")()
+        yp = pc3.conv3x3_packed(xp, k1.astype(self.dtype), self.p)
+        return PackedBatchNorm(self.features, self.p, dtype=self.dtype,
+                               name="bn1")(yp, train=train)
+
+
+class PackedUp(nn.Module):
+    """k2/s2 transposed conv on packed views (pallas/upconv_pack.py) with
+    the same parameter tree as ``nn.ConvTranspose`` (kernel [2,2,Cin,Cout],
+    bias) — drop-in for checkpoints and the torch importer."""
+
+    features: int
+    c_in: int
+    dims_out: tuple  # (g_out, lanes_out) consumer view
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp):
+        from cl_tpu.pallas import upconv_pack
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (2, 2, self.c_in, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        p_in = xp.shape[-1] // self.c_in
+        # flipped placement — see UpConv2x2 / nn.ConvTranspose semantics
+        wp = upconv_pack.pack_up_weights(
+            jnp.flip(kernel.astype(self.dtype), (0, 1)), p_in)
+        bias_l = jnp.tile(bias.astype(jnp.float32), 2 * p_in)
+        return upconv_pack.upconv2x2_packed(xp.astype(self.dtype), wp,
+                                            bias_l, self.dims_out)
+
+
+def packed_prefix(image_size: int, base_channels: int, depth: int,
+                  itemsize: int = 2) -> int:
+    """How many leading UNet levels can run fully packed at the uniform
+    pack factor P = pick_pack(base, base): every level needs both convs
+    kernel-supported at forced P, the packed pool, and the matching
+    packed up-conv geometry.  0 = packed execution unavailable."""
+    from cl_tpu.pallas import conv3x3_v3 as pc3
+    from cl_tpu.pallas import pool_pack, upconv_pack
+    P = pc3.pick_pack(base_channels, base_channels)
+    k = 0
+    for l in range(depth):
+        h = image_size // (2 ** l)
+        feats = base_channels * (2 ** l)
+        c_in = 3 if l == 0 else feats // 2
+        g = h // P
+        if l == 0:
+            convs_ok = pc3.supported(h, h, feats, feats, itemsize, p=P)
+        else:
+            convs_ok = (pc3.supported(h, h, c_in, feats, itemsize, p=P)
+                        and pc3.supported(h, h, feats, feats, itemsize,
+                                          p=P))
+        # decoder entry at this level: split convs (feats->feats) + the
+        # up-conv from the level below into this level's view
+        split_ok = pc3.supported(h, h, feats, feats, itemsize, p=P)
+        pool_ok = pool_pack.supported(h, g, P * feats, feats, itemsize)
+        c_below = feats * 2
+        h_below = h // 2
+        p_in_up = P if l + 1 < depth else P  # packed or packed-on-entry
+        up_ok = upconv_pack.geometry(
+            h_below, h_below // p_in_up, p_in_up * c_below, c_below,
+            feats, P) is not None
+        if not (convs_ok and split_ok and pool_ok and up_ok):
+            return k
+        k = l + 1
+    return k
+
 
 class UNet(nn.Module):
     """UNet(x: [B, H, W, 3]) -> logits [B, H, W, num_classes] (f32)."""
@@ -198,6 +484,7 @@ class UNet(nn.Module):
     head_width: int | None = None  # None => num_classes (padded head)
     conv_impl: str = "xla"  # "pallas" = lane-packed kernel (DESIGN.md §8)
     upconv_impl: str = "xla"  # "xla" | "matmul" = einsum+pixel-shuffle
+    packed: bool = False  # run leading levels fully lane-packed
 
     @nn.compact
     def __call__(self, x, *, train: bool = False,
@@ -211,6 +498,94 @@ class UNet(nn.Module):
         c = self.base_channels
         x = x.astype(self.dtype)
 
+        prefix = 0
+        if self.packed and self.norm == "batch" and x.shape[1] == x.shape[2]:
+            prefix = packed_prefix(x.shape[1], c, self.depth,
+                                   jnp.dtype(self.dtype).itemsize)
+        if prefix > 0:
+            x = self._packed_body(x, prefix, train=train)
+        else:
+            x = self._standard_body(x, train=train)
+
+        if return_features:
+            return x
+        width = self.head_width or self.num_classes
+        logits = nn.Conv(width, (1, 1), dtype=self.dtype,
+                         param_dtype=jnp.float32, name="head")(x)
+        # Loss/eval arithmetic is f32 regardless of compute dtype
+        # (SURVEY.md §6 determinism, §7 bf16 notes).
+        return logits.astype(jnp.float32)
+
+    def _packed_body(self, x, prefix, *, train):
+        """Levels [0, prefix) in the packed domain; deeper levels via the
+        standard NHWC modules (same names — checkpoint-compatible), with
+        pack/unpack conversions only at the (small) deep boundaries."""
+        from cl_tpu.pallas import conv3x3_v3 as pc3
+        from cl_tpu.pallas.pool_pack import maxpool2x2_packed
+        c = self.base_channels
+        P = pc3.pick_pack(c, c)
+        b = x.shape[0]
+
+        skips_p = []
+        for level in range(prefix):
+            feats = c * (2 ** level)
+            c_in = 3 if level == 0 else feats // 2
+            mode = "stem" if level == 0 else "plain"
+            xp = PackedLevel(feats, c_in, P, mode=mode, dtype=self.dtype,
+                             name=f"enc{level}")(x if level == 0 else xp,
+                                                 train=train)
+            skips_p.append(xp)
+            xp = maxpool2x2_packed(xp, feats)
+
+        # deep region in NHWC (standard modules)
+        h_deep = x.shape[1] // (2 ** prefix)
+        c_deep_in = c * (2 ** (prefix - 1))
+        xd = xp.reshape(b, h_deep, h_deep, c_deep_in)
+        skips_d = []
+        for level in range(prefix, self.depth):
+            xd = DoubleConv(c * (2 ** level), norm=self.norm,
+                            dtype=self.dtype, conv_impl="xla",
+                            name=f"enc{level}")(xd, train=train)
+            skips_d.append(xd)
+            xd = nn.max_pool(xd, (2, 2), strides=(2, 2))
+        xd = DoubleConv(c * (2 ** self.depth), norm=self.norm,
+                        dtype=self.dtype, conv_impl="xla",
+                        name="bottleneck")(xd, train=train)
+        for level in reversed(range(prefix, self.depth)):
+            feats = c * (2 ** level)
+            xd = nn.ConvTranspose(feats, (2, 2), strides=(2, 2),
+                                  padding="VALID", use_bias=True,
+                                  dtype=self.dtype,
+                                  param_dtype=jnp.float32,
+                                  name=f"up{level}")(xd)
+            xd = jnp.concatenate([skips_d[level - prefix], xd], axis=-1)
+            xd = DoubleConv(feats, norm=self.norm, dtype=self.dtype,
+                            conv_impl="xla",
+                            name=f"dec{level}")(xd, train=train)
+
+        # packed decoder
+        for level in reversed(range(prefix)):
+            feats = c * (2 ** level)
+            c_below = feats * 2
+            h_out = x.shape[1] // (2 ** level)
+            g_out, lanes_out = h_out // P, P * feats
+            if level + 1 == prefix:
+                # below is NHWC — pack on entry (small at deep levels)
+                bb, hh, ww, cc = xd.shape
+                p_in = P
+                below_p = xd.reshape(bb, hh, ww // p_in, p_in * cc)
+            else:
+                below_p = xp
+            up_p = PackedUp(feats, c_below, (g_out, lanes_out),
+                            dtype=self.dtype, name=f"up{level}")(below_p)
+            xp = PackedLevel(feats, feats, P, mode="split",
+                             dtype=self.dtype,
+                             name=f"dec{level}")((skips_p[level], up_p),
+                                                 train=train)
+        return xp.reshape(b, x.shape[1], x.shape[2], c)
+
+    def _standard_body(self, x, *, train):
+        c = self.base_channels
         skips = []
         for level in range(self.depth):
             x = DoubleConv(c * (2 ** level), norm=self.norm, dtype=self.dtype,
@@ -240,15 +615,7 @@ class UNet(nn.Module):
             x = DoubleConv(feats, norm=self.norm, dtype=self.dtype,
                            conv_impl=self.conv_impl,
                            name=f"dec{level}")(x, train=train)
-
-        if return_features:
-            return x
-        width = self.head_width or self.num_classes
-        logits = nn.Conv(width, (1, 1), dtype=self.dtype,
-                         param_dtype=jnp.float32, name="head")(x)
-        # Loss/eval arithmetic is f32 regardless of compute dtype
-        # (SURVEY.md §6 determinism, §7 bf16 notes).
-        return logits.astype(jnp.float32)
+        return x
 
 
 def init_variables(model: UNet, rng: jax.Array, image_size: int,

@@ -82,8 +82,8 @@ def _pick_th(h: int, wg: int, lanes: int, itemsize: int,
 
 
 def supported(h: int, w: int, c_in: int, c_out: int,
-              itemsize: int = 2) -> bool:
-    p = pick_pack(c_in, c_out)
+              itemsize: int = 2, p: int | None = None) -> bool:
+    p = p or pick_pack(c_in, c_out)
     lanes = p * c_in
     k = (p + 2) * c_in
     if lanes % 128 or w % p:
@@ -106,8 +106,8 @@ def profitable(h: int, w: int, c_in: int, c_out: int) -> bool:
     return supported(h, w, c_in, c_out) and h * w >= 256 * 256
 
 
-def _geometry(h, wid, c_in, c_out, itemsize):
-    p = pick_pack(c_in, c_out)
+def _geometry(h, wid, c_in, c_out, itemsize, p=None):
+    p = p or pick_pack(c_in, c_out)
     wg = wid // p
     lanes = p * c_in
     k = (p + 2) * c_in
@@ -278,7 +278,8 @@ def _dw_kernel(xp_ref, dy_ref, dw_ref, scratch, sems, acc, *, nh, th, wg,
         dw_ref[:] = acc[:]
 
 
-def _fwd_packed(xp: jax.Array, w: jax.Array) -> jax.Array:
+def _fwd_packed(xp: jax.Array, w: jax.Array,
+                p_force: int | None = None) -> jax.Array:
     """Packed-view forward: xp [b, h, wg, lanes] → y [b, h, wg, p·c_out]
     (both the kernel's native lane-packed views; see conv3x3_packed)."""
     b, h, wg_in, lanes_in = xp.shape
@@ -286,7 +287,7 @@ def _fwd_packed(xp: jax.Array, w: jax.Array) -> jax.Array:
     c_out = w.shape[-1]
     wid = wg_in * lanes_in // c_in
     p, wg, th, nh, lanes, k = _geometry(h, wid, c_in, c_out,
-                                        xp.dtype.itemsize)
+                                        xp.dtype.itemsize, p_force)
     assert (wg_in, lanes_in) == (wg, lanes), \
         f"packed view mismatch: got {(wg_in, lanes_in)} want {(wg, lanes)}"
     wp = pack_weights(w, p)
@@ -320,14 +321,15 @@ def _conv_fwd_impl(x: jax.Array, w: jax.Array) -> jax.Array:
     return y.reshape(b, h, wid, c_out)
 
 
-def _dw_packed(xp: jax.Array, dyp4: jax.Array, c_in: int) -> jax.Array:
+def _dw_packed(xp: jax.Array, dyp4: jax.Array, c_in: int,
+               p_force: int | None = None) -> jax.Array:
     """Packed-view dW: xp [b,h,wg,lanes], dyp4 [b,h,wg,p·c_out] →
     dW [3,3,c_in,c_out] (f32)."""
     b, h, wg_in, lanes_in = xp.shape
     wid = wg_in * lanes_in // c_in
     c_out = dyp4.shape[-1] // (lanes_in // c_in)   # lanes/c_in == p
     p, wg, th, nh, lanes, k = _geometry(h, wid, c_in, c_out,
-                                        xp.dtype.itemsize)
+                                        xp.dtype.itemsize, p_force)
     assert (wg_in, lanes_in) == (wg, lanes)
     dyp = dyp4.reshape(b * nh, th, wg, p * c_out)
     dwp = pl.pallas_call(
@@ -359,31 +361,34 @@ def _conv_dw_impl(x: jax.Array, dy: jax.Array) -> jax.Array:
                       dy.reshape(b, h, wg, p * c_out), c_in)
 
 
-@jax.custom_vjp
-def conv3x3_packed(xp: jax.Array, w: jax.Array) -> jax.Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def conv3x3_packed(xp: jax.Array, w: jax.Array,
+                   p: int | None = None) -> jax.Array:
     """Packed-domain conv: xp [b,h,wg,p·c_in] → [b,h,wg,p·c_out], both
     the kernel-native lane-packed views (free reshapes of NHWC).  Lets a
     whole UNet level run packed — conv, BN stats (packed column reduce +
-    p-fold), ReLU — with NO layout round-trips between ops."""
-    return _fwd_packed(xp, w)
+    p-fold), ReLU — with NO layout round-trips between ops.  ``p``
+    overrides the natural pack factor so a whole level can run at one
+    uniform view (e.g. enc1's 32→64 conv packs at 4, forcing its 64→64
+    sibling from 2 to 4)."""
+    return _fwd_packed(xp, w, p)
 
 
-def _cp_fwd(xp, w):
-    return _fwd_packed(xp, w), (xp, w)
+def _cp_fwd(xp, w, p=None):
+    return _fwd_packed(xp, w, p), (xp, w)
 
 
-def _cp_bwd(res, dyp):
+def _cp_bwd(p, res, dyp):
     xp, w = res
     dyp = dyp.astype(xp.dtype)
     c_in = w.shape[2]
-    c_out = w.shape[3]
     # dx: forward kernel on the packed dy with the flipped/transposed
     # kernel.  dy's packed view [*, p·c_out] must equal the dx conv's
     # native input view [*, p'·c_out]; p' == p for every UNet shape
-    # (asserted inside _fwd_packed).
+    # (asserted inside _fwd_packed; forced p propagates).
     w_dx = jnp.flip(w, (0, 1)).swapaxes(2, 3)
-    dxp = _fwd_packed(dyp, w_dx)
-    dw = _dw_packed(xp, dyp, c_in).astype(w.dtype)
+    dxp = _fwd_packed(dyp, w_dx, p)
+    dw = _dw_packed(xp, dyp, c_in, p).astype(w.dtype)
     return dxp, dw
 
 

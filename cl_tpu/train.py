@@ -77,7 +77,8 @@ def build_model(cfg: Config, head_width: int | None = None) -> UNet:
                 depth=cfg.model.depth, norm=cfg.model.norm,
                 dtype=_dtype(cfg), head_width=head_width,
                 conv_impl=cfg.model.conv_impl,
-                upconv_impl=cfg.model.upconv_impl)
+                upconv_impl=cfg.model.upconv_impl,
+                packed=cfg.model.packed_unet)
 
 
 def task_head_width(cfg: Config, task_id: int) -> int:
