@@ -355,20 +355,73 @@ class Conv3x3Param(nn.Module):
                           (3, 3, self.c_in, self.features), jnp.float32)
 
 
-class PackedLevel(nn.Module):
-    """One UNet DoubleConv level executed entirely on lane-packed views
-    at a UNIFORM pack factor ``p`` (conv_impl v3 packed kernels +
-    PackedBatchNorm).  Variable tree identical to :class:`DoubleConv`
-    with batch norm.  Modes:
+class DeferredBatchNorm(nn.Module):
+    """BatchNorm parameters/stats whose APPLICATION is deferred to the
+    consumer's in-kernel prologue (conv_bn_fused).  Same variable tree
+    as ``nn.BatchNorm`` ([C] f32 scale/bias + batch_stats mean/var).
+    ``__call__`` takes the producer kernel's per-lane stat sums and
+    returns per-CHANNEL (scale, shift) vectors; the caller tiles them to
+    the consumer's lane view."""
 
-      * ``stem``:  conv0 is the RGB stem (XLA NHWC conv + nn.BatchNorm +
-        ReLU — c_in=3 is not kernel-packable), then packs and runs conv1
-        in the packed domain.
-      * ``plain``: both convs packed; input is the packed view.
-      * ``split``: decoder entry — conv0's channel-concat input arrives
-        as the TWO packed operands (skip, up) and the conv distributes
-        over the concat: conv(cat(s,u), W) = conv(s, W_s) + conv(u, W_u),
-        so the concatenated tensor never materializes.
+    features: int
+    pack: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, s1_l, s2_l, n, *, train: bool):
+        c, p = self.features, self.pack
+        gamma = self.param("scale", nn.initializers.ones_init(), (c,),
+                           jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros_init(), (c,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if train:
+            mu = s1_l.reshape(p, c).sum(0) / n
+            var = s2_l.reshape(p, c).sum(0) / n - mu * mu
+            if not self.is_initializing():
+                ra_mean.value = (_BN_MOMENTUM * ra_mean.value
+                                 + (1.0 - _BN_MOMENTUM) * mu)
+                ra_var.value = (_BN_MOMENTUM * ra_var.value
+                                + (1.0 - _BN_MOMENTUM) * var)
+        else:
+            mu, var = ra_mean.value, ra_var.value
+        scale = jax.lax.rsqrt(var + _BN_EPS) * gamma
+        shift = beta - mu * scale
+        return scale, shift
+
+
+def bn_relu_apply(y, scale, shift, p):
+    """Materialized z = relu(y·scale+shift) on a packed view — the jnp
+    fallback for consumers whose kernels don't take the prologue yet
+    (pool, up-conv, head).
+
+    The tiled vectors go through an optimization barrier: XLA otherwise
+    recognizes mul-by-a-p-periodic-vector and rewrites the elementwise
+    chain onto the UNPACKED [N,C] view, inserting ~2 ms f32 retiling
+    copies on both sides at 512² (measured, DESIGN.md §8)."""
+    s_l, b_l = jax.lax.optimization_barrier(
+        (jnp.tile(scale, p), jnp.tile(shift, p)))
+    return jnp.maximum(y.astype(jnp.float32) * s_l + b_l,
+                       0.0).astype(y.dtype)
+
+
+class PackedLevel(nn.Module):
+    """One UNet DoubleConv level on lane-packed views with the BN·ReLU
+    between its convs FUSED into the second conv's prologue and both
+    convs' output stats computed by in-kernel epilogues (conv_bn_fused).
+    Variable tree identical to :class:`DoubleConv` with batch norm.
+
+    Returns ``(y2, scale1[C], shift1[C])`` — the level's LAST BatchNorm
+    is deferred to the consumer (pool / decoder conv / up-conv / head),
+    which applies z = relu(y2·scale+shift) itself.
+
+    Modes: ``stem`` (conv0 = XLA RGB stem + nn.BatchNorm + ReLU, then
+    pack), ``plain`` (both convs packed; input is an ALREADY-APPLIED
+    packed z), ``split`` (decoder entry: conv0 distributed over the two
+    concat operands — skip z and raw up output).
     """
 
     features: int
@@ -380,8 +433,10 @@ class PackedLevel(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool):
         from cl_tpu.pallas import conv3x3_v3 as pc3
+        f = self.features
+        ones = jnp.ones((1,), jnp.float32)
         if self.mode == "stem":
-            y = Conv3x3(self.features, conv_impl="xla", dtype=self.dtype,
+            y = Conv3x3(f, conv_impl="xla", dtype=self.dtype,
                         name="conv0")(x)
             y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
@@ -389,25 +444,70 @@ class PackedLevel(nn.Module):
             y = nn.relu(y)
             b, h, w, cc = y.shape
             xp = y.reshape(b, h, w // self.p, self.p * cc)
+            a0 = jnp.tile(ones, self.p * f)
+            b0 = jnp.zeros((self.p * f,), jnp.float32)
+            prologue0 = False
         elif self.mode == "split":
-            skip_p, up_p = x
-            k0 = Conv3x3Param(self.features, 2 * self.features,
-                              name="conv0")()
-            ks = k0[:, :, :self.features].astype(self.dtype)
-            ku = k0[:, :, self.features:].astype(self.dtype)
-            yp = (pc3.conv3x3_packed(skip_p, ks, self.p)
-                  + pc3.conv3x3_packed(up_p, ku, self.p))
-            xp = PackedBatchNorm(self.features, self.p, dtype=self.dtype,
-                                 name="bn0")(yp, train=train)
+            skip_z, up_raw = x
+            k0 = Conv3x3Param(f, 2 * f, name="conv0")()
+            ks = k0[:, :, :f].astype(self.dtype)
+            ku = k0[:, :, f:].astype(self.dtype)
+            zeros_l = jnp.zeros((self.p * f,), jnp.float32)
+            ones_l = jnp.ones((self.p * f,), jnp.float32)
+            ys, s1a, s2a = pc3.conv_bn_fused(skip_z, ks, ones_l, zeros_l,
+                                             self.p, False)
+            yu, s1b, s2b = pc3.conv_bn_fused(up_raw, ku, ones_l, zeros_l,
+                                             self.p, False)
+            # stats of the SUM are not the sum of stats — recompute the
+            # first-BN stats from the summed tensor (one fused pass).
+            yp = ys + yu
+            yf = yp.astype(jnp.float32)
+            s1 = jnp.sum(yf, axis=(0, 1, 2))
+            s2 = jnp.sum(yf * yf, axis=(0, 1, 2))
+            n = yp.shape[0] * yp.shape[1] * yp.shape[2] * self.p
+            sc0, sh0 = DeferredBatchNorm(f, self.p, dtype=self.dtype,
+                                         name="bn0")(s1, s2, n,
+                                                     train=train)
+            k1 = Conv3x3Param(f, f, name="conv1")()
+            y2, s1c, s2c = pc3.conv_bn_fused(
+                yp, k1.astype(self.dtype), jnp.tile(sc0, self.p),
+                jnp.tile(sh0, self.p), self.p, True)
+            n2 = y2.shape[0] * y2.shape[1] * y2.shape[2] * self.p
+            sc1, sh1 = DeferredBatchNorm(f, self.p, dtype=self.dtype,
+                                         name="bn1")(s1c, s2c, n2,
+                                                     train=train)
+            return y2, sc1, sh1
         else:
-            k0 = Conv3x3Param(self.features, self.c_in, name="conv0")()
-            yp = pc3.conv3x3_packed(x, k0.astype(self.dtype), self.p)
-            xp = PackedBatchNorm(self.features, self.p, dtype=self.dtype,
-                                 name="bn0")(yp, train=train)
-        k1 = Conv3x3Param(self.features, self.features, name="conv1")()
-        yp = pc3.conv3x3_packed(xp, k1.astype(self.dtype), self.p)
-        return PackedBatchNorm(self.features, self.p, dtype=self.dtype,
-                               name="bn1")(yp, train=train)
+            xp = x
+            a0 = jnp.ones((self.p * self.c_in,), jnp.float32)
+            b0 = jnp.zeros((self.p * self.c_in,), jnp.float32)
+            prologue0 = False
+        k0m = (Conv3x3Param(f, self.c_in, name="conv0")()
+               if self.mode == "plain" else None)
+        if self.mode == "plain":
+            y1, s1, s2 = pc3.conv_bn_fused(xp, k0m.astype(self.dtype),
+                                           a0, b0, self.p, prologue0)
+        else:  # stem: conv1 is the only packed conv of the level
+            k1 = Conv3x3Param(f, f, name="conv1")()
+            y1, s1, s2 = pc3.conv_bn_fused(xp, k1.astype(self.dtype),
+                                           a0, b0, self.p, prologue0)
+            n1 = y1.shape[0] * y1.shape[1] * y1.shape[2] * self.p
+            sc1, sh1 = DeferredBatchNorm(f, self.p, dtype=self.dtype,
+                                         name="bn1")(s1, s2, n1,
+                                                     train=train)
+            return y1, sc1, sh1
+        n1 = y1.shape[0] * y1.shape[1] * y1.shape[2] * self.p
+        sc0, sh0 = DeferredBatchNorm(f, self.p, dtype=self.dtype,
+                                     name="bn0")(s1, s2, n1, train=train)
+        k1 = Conv3x3Param(f, f, name="conv1")()
+        y2, s1b, s2b = pc3.conv_bn_fused(
+            y1, k1.astype(self.dtype), jnp.tile(sc0, self.p),
+            jnp.tile(sh0, self.p), self.p, True)
+        n2 = y2.shape[0] * y2.shape[1] * y2.shape[2] * self.p
+        sc1, sh1 = DeferredBatchNorm(f, self.p, dtype=self.dtype,
+                                     name="bn1")(s1b, s2b, n2,
+                                                 train=train)
+        return y2, sc1, sh1
 
 
 class PackedUp(nn.Module):
@@ -526,16 +626,17 @@ class UNet(nn.Module):
         P = pc3.pick_pack(c, c)
         b = x.shape[0]
 
-        skips_p = []
+        skips_p = []  # materialized z per level (pool + decoder reuse it)
         for level in range(prefix):
             feats = c * (2 ** level)
             c_in = 3 if level == 0 else feats // 2
             mode = "stem" if level == 0 else "plain"
-            xp = PackedLevel(feats, c_in, P, mode=mode, dtype=self.dtype,
-                             name=f"enc{level}")(x if level == 0 else xp,
-                                                 train=train)
-            skips_p.append(xp)
-            xp = maxpool2x2_packed(xp, feats)
+            yp, sc, sh = PackedLevel(
+                feats, c_in, P, mode=mode, dtype=self.dtype,
+                name=f"enc{level}")(x if level == 0 else xp, train=train)
+            zp = bn_relu_apply(yp, sc, sh, P)
+            skips_p.append(zp)
+            xp = maxpool2x2_packed(zp, feats)
 
         # deep region in NHWC (standard modules)
         h_deep = x.shape[1] // (2 ** prefix)
@@ -564,6 +665,7 @@ class UNet(nn.Module):
                             name=f"dec{level}")(xd, train=train)
 
         # packed decoder
+        dec_sc = dec_sh = None
         for level in reversed(range(prefix)):
             feats = c * (2 ** level)
             c_below = feats * 2
@@ -572,17 +674,16 @@ class UNet(nn.Module):
             if level + 1 == prefix:
                 # below is NHWC — pack on entry (small at deep levels)
                 bb, hh, ww, cc = xd.shape
-                p_in = P
-                below_p = xd.reshape(bb, hh, ww // p_in, p_in * cc)
+                below_p = xd.reshape(bb, hh, ww // P, P * cc)
             else:
-                below_p = xp
+                below_p = bn_relu_apply(xp, dec_sc, dec_sh, P)
             up_p = PackedUp(feats, c_below, (g_out, lanes_out),
                             dtype=self.dtype, name=f"up{level}")(below_p)
-            xp = PackedLevel(feats, feats, P, mode="split",
-                             dtype=self.dtype,
-                             name=f"dec{level}")((skips_p[level], up_p),
-                                                 train=train)
-        return xp.reshape(b, x.shape[1], x.shape[2], c)
+            xp, dec_sc, dec_sh = PackedLevel(
+                feats, feats, P, mode="split", dtype=self.dtype,
+                name=f"dec{level}")((skips_p[level], up_p), train=train)
+        z0 = bn_relu_apply(xp, dec_sc, dec_sh, P)
+        return z0.reshape(b, x.shape[1], x.shape[2], c)
 
     def _standard_body(self, x, *, train):
         c = self.base_channels

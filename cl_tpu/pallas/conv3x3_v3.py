@@ -415,3 +415,244 @@ def _conv_bwd(res, dy):
 
 
 conv3x3.defvjp(_conv_fwd, _conv_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused BN·ReLU prologue + stats epilogue (the packed-domain level engine)
+# ---------------------------------------------------------------------------
+#
+# In the packed UNet, BatchNorm as separate XLA passes costs ~1.5 ms fwd
+# and ~1.9 ms bwd per BN at 512² AND pins layouts between custom calls
+# (DESIGN.md §8). This variant folds the normalize into the conv that
+# CONSUMES it — t = relu(x·a + b) applied to the DMA'd tile in VMEM
+# (VPU work hidden under the MXU) — and emits the conv OUTPUT's batch
+# stats (Σy, Σy²) from an f32 accumulator epilogue, so the next BN's
+# stats also never run as a standalone pass.
+#
+#   conv_bn_fused(xp, w, a_l, b_l, p, prologue) -> (y, s1_l, s2_l)
+#
+# a_l/b_l are the consumer-side scale/shift pre-tiled to the INPUT lane
+# view (f32).  The backward recomputes t in the dW kernel's prologue,
+# applies the stats cotangents (dy_eff = dy + ds1 + 2·y·ds2) and the
+# prologue chain (mask·a, da, db) as jnp elementwise/reduces.
+
+
+def _apply_prologue(scratch, slot, a_ref, b_ref, dtype):
+    t = (scratch[slot].astype(jnp.float32) * a_ref[:][0]
+         + b_ref[:][0])
+    scratch[slot] = jnp.maximum(t, 0.0).astype(dtype)
+
+
+def _zero_halo_rows(scratch, slot, *, nh, th):
+    idx = pl.program_id(0)
+    jh = idx % nh
+    if nh == 1:
+        scratch[slot, 1] = jnp.zeros_like(scratch[slot, 1])
+        scratch[slot, th + 2] = jnp.zeros_like(scratch[slot, th + 2])
+        return
+
+    @pl.when(jh == 0)
+    def _():
+        scratch[slot, 1] = jnp.zeros_like(scratch[slot, 1])
+
+    @pl.when(jh == nh - 1)
+    def _():
+        scratch[slot, th + 2] = jnp.zeros_like(scratch[slot, th + 2])
+
+
+def _fwd_bn_kernel(xp_ref, w_ref, a_ref, b_ref, y_ref, s_ref, scratch,
+                   sems, sacc, *, nh, th, wg, lanes, k, c_in, prologue):
+    slot = _wait_dma_nozero(xp_ref, scratch, sems, nh=nh, th=th)
+    if prologue:
+        _apply_prologue(scratch, slot, a_ref, b_ref, xp_ref.dtype)
+    _zero_halo_rows(scratch, slot, nh=nh, th=th)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        sacc[:] = jnp.zeros_like(sacc)
+
+    vflat = scratch[slot].reshape((th + 4) * wg, lanes)
+    acc = None
+    for u in range(3):
+        pa, pb, pc = _pieces(vflat, u, th=th, wg=wg, lanes=lanes,
+                             c_in=c_in, dtype=xp_ref.dtype)
+        r0 = u * k
+        for patch, lo, hi in ((pa, r0, r0 + c_in),
+                              (pb, r0 + c_in, r0 + c_in + lanes),
+                              (pc, r0 + c_in + lanes, r0 + k)):
+            d = jax.lax.dot_general(
+                patch, w_ref[lo:hi, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+    yd = acc.astype(y_ref.dtype)
+    # stats of the STORED dtype (bf16 under config 5) so the folded
+    # mean/var match a separate pass over the materialized y exactly.
+    yf = yd.astype(jnp.float32)
+    sacc[0:1] += jnp.sum(yf, axis=0, keepdims=True)
+    sacc[1:2] += jnp.sum(yf * yf, axis=0, keepdims=True)
+    y_ref[0] = yd.reshape(th, wg, y_ref.shape[-1])
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        s_ref[:] = sacc[:]
+
+
+def _wait_dma_nozero(xp_ref, scratch, sems, *, nh, th):
+    """_wait_dma without the halo-row zeroing (the fused kernel zeroes
+    AFTER its prologue so padding stays zero in t-space)."""
+    idx = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    @pl.when(idx == 0)
+    def _():
+        _start_dma(xp_ref, scratch, sems, 0, 0, nh=nh, th=th)
+
+    @pl.when(idx + 1 < n)
+    def _():
+        _start_dma(xp_ref, scratch, sems, (idx + 1) % 2, idx + 1,
+                   nh=nh, th=th)
+
+    slot = idx % 2
+    _wait_variant(xp_ref, scratch, sems, slot, idx, nh=nh, th=th)
+    return slot
+
+
+def _dw_bn_kernel(xp_ref, dy_ref, a_ref, b_ref, dw_ref, scratch, sems,
+                  acc, *, nh, th, wg, lanes, k, c_in, prologue):
+    slot = _wait_dma_nozero(xp_ref, scratch, sems, nh=nh, th=th)
+    if prologue:
+        _apply_prologue(scratch, slot, a_ref, b_ref, xp_ref.dtype)
+    _zero_halo_rows(scratch, slot, nh=nh, th=th)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    vflat = scratch[slot].reshape((th + 4) * wg, lanes)
+    dy2 = dy_ref[0].reshape(th * wg, dy_ref.shape[-1])
+    for u in range(3):
+        pa, pb, pc = _pieces(vflat, u, th=th, wg=wg, lanes=lanes,
+                             c_in=c_in, dtype=xp_ref.dtype)
+        r0 = u * k
+        for patch, lo, hi in ((pa, r0, r0 + c_in),
+                              (pb, r0 + c_in, r0 + c_in + lanes),
+                              (pc, r0 + c_in + lanes, r0 + k)):
+            acc[lo:hi] += jax.lax.dot_general(
+                patch, dy2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        dw_ref[:] = acc[:]
+
+
+def _fwd_bn_impl(xp, w, a_l, b_l, p_force, prologue):
+    b, h, wg_in, lanes_in = xp.shape
+    c_in = w.shape[2]
+    c_out = w.shape[-1]
+    wid = wg_in * lanes_in // c_in
+    p, wg, th, nh, lanes, k = _geometry(h, wid, c_in, c_out,
+                                        xp.dtype.itemsize, p_force)
+    assert (wg_in, lanes_in) == (wg, lanes)
+    wp = pack_weights(w, p)
+    y, s = pl.pallas_call(
+        functools.partial(_fwd_bn_kernel, nh=nh, th=th, wg=wg,
+                          lanes=lanes, k=k, c_in=c_in, prologue=prologue),
+        grid=(b * nh,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((3 * k, p * c_out), lambda i: (0, 0)),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((1, th, wg, p * c_out),
+                                lambda i: (i, 0, 0, 0)),
+                   pl.BlockSpec((2, p * c_out), lambda i: (0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((b * nh, th, wg, p * c_out),
+                                        xp.dtype),
+                   jax.ShapeDtypeStruct((2, p * c_out), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 4, wg, lanes), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, p * c_out), jnp.float32),
+        ],
+        interpret=common.interpret_mode(),
+    )(xp, wp, a_l.reshape(1, -1), b_l.reshape(1, -1))
+    return y.reshape(b, h, wg, p * c_out), s[0], s[1]
+
+
+def _dw_bn_impl(xp, dyp4, c_in, a_l, b_l, p_force, prologue):
+    b, h, wg_in, lanes_in = xp.shape
+    wid = wg_in * lanes_in // c_in
+    c_out = dyp4.shape[-1] // (lanes_in // c_in)
+    p, wg, th, nh, lanes, k = _geometry(h, wid, c_in, c_out,
+                                        xp.dtype.itemsize, p_force)
+    assert (wg_in, lanes_in) == (wg, lanes)
+    dyp = dyp4.reshape(b * nh, th, wg, p * c_out)
+    dwp = pl.pallas_call(
+        functools.partial(_dw_bn_kernel, nh=nh, th=th, wg=wg,
+                          lanes=lanes, k=k, c_in=c_in, prologue=prologue),
+        grid=(b * nh,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, th, wg, p * c_out), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((3 * k, p * c_out), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((3 * k, p * c_out), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 4, wg, lanes), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((3 * k, p * c_out), jnp.float32),
+        ],
+        interpret=common.interpret_mode(),
+    )(xp, dyp, a_l.reshape(1, -1), b_l.reshape(1, -1))
+    return _fold_dw(dwp, p, c_in, c_out)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def conv_bn_fused(xp, w, a_l, b_l, p, prologue):
+    """Packed conv with in-kernel BN·ReLU prologue and output-stats
+    epilogue: t = relu(xp·a_l + b_l) (skipped when ``prologue`` False),
+    y = conv3x3(t, w), returns (y, Σy per lane, Σy² per lane)."""
+    return _fwd_bn_impl(xp, w, a_l, b_l, p, prologue)
+
+
+def _cbf_fwd(xp, w, a_l, b_l, p, prologue):
+    y, s1, s2 = _fwd_bn_impl(xp, w, a_l, b_l, p, prologue)
+    return (y, s1, s2), (xp, w, a_l, b_l, y)
+
+
+def _cbf_bwd(p, prologue, res, cots):
+    xp, w, a_l, b_l, y = res
+    dy, ds1, ds2 = cots
+    # stats cotangents: d(Σy)/dy = 1, d(Σy²)/dy = 2y (one fused pass).
+    # The barrier stops XLA from rewriting the periodic-vector broadcast
+    # onto the unpacked [N,C] view (f32 retiling copies, DESIGN.md §8).
+    ds1, ds2 = jax.lax.optimization_barrier((ds1, ds2))
+    dy_eff = (dy.astype(jnp.float32) + ds1
+              + 2.0 * y.astype(jnp.float32) * ds2).astype(xp.dtype)
+    c_in = w.shape[2]
+    w_dx = jnp.flip(w, (0, 1)).swapaxes(2, 3)
+    dt = _fwd_packed(dy_eff, w_dx, p)
+    dw = _dw_bn_impl(xp, dy_eff, c_in, a_l, b_l, p, prologue)
+    dw = dw.astype(w.dtype)
+    if prologue:
+        a_b, b_b = jax.lax.optimization_barrier((a_l, b_l))
+        xf = xp.astype(jnp.float32)
+        u = xf * a_b + b_b
+        du = jnp.where(u > 0, dt.astype(jnp.float32), 0.0)
+        dxp = (du * a_b).astype(xp.dtype)
+        da_l = jnp.sum(du * xf, axis=(0, 1, 2))
+        db_l = jnp.sum(du, axis=(0, 1, 2))
+    else:
+        dxp = dt.astype(xp.dtype)
+        da_l = jnp.zeros_like(a_l)
+        db_l = jnp.zeros_like(b_l)
+    return dxp, dw, da_l, db_l
+
+
+conv_bn_fused.defvjp(_cbf_fwd, _cbf_bwd)
