@@ -92,6 +92,9 @@ def main() -> int:
         "model.base_channels=32", "train.compute_dtype=bfloat16",
         "train.data_parallel=false",
     ]
+    for a in sys.argv:
+        if a.startswith("--set="):  # any config override, e.g.
+            over.append(a.split("=", 1)[1])  # --set=model.packed_unet=true
     cfg = parse_overrides(over)
     model = train_lib.build_model(cfg)
     tx = train_lib.build_optimizer(cfg)

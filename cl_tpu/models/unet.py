@@ -394,18 +394,19 @@ class DeferredBatchNorm(nn.Module):
 
 
 def bn_relu_apply(y, scale, shift, p):
-    """Materialized z = relu(y·scale+shift) on a packed view — the jnp
-    fallback for consumers whose kernels don't take the prologue yet
-    (pool, up-conv, head).
+    """Materialized z = relu(y·scale+shift) on a packed view for
+    consumers whose kernels don't take the prologue (pool, up-conv,
+    head).
 
-    The tiled vectors go through an optimization barrier: XLA otherwise
-    recognizes mul-by-a-p-periodic-vector and rewrites the elementwise
-    chain onto the UNPACKED [N,C] view, inserting ~2 ms f32 retiling
-    copies on both sides at 512² (measured, DESIGN.md §8)."""
-    s_l, b_l = jax.lax.optimization_barrier(
-        (jnp.tile(scale, p), jnp.tile(shift, p)))
-    return jnp.maximum(y.astype(jnp.float32) * s_l + b_l,
-                       0.0).astype(y.dtype)
+    Runs as a Pallas kernel with an analytic VJP
+    (pallas/packed_eltwise.py): as jnp elementwise, XLA's layout
+    assignment re-associates the p-periodic vector broadcast onto the
+    unpacked [N,C] view and inserts ~2 ms f32 retiling copies per pass
+    at 512² around the neighbouring custom calls (measured, DESIGN.md
+    §8; an optimization barrier protects the vectors but not the layout
+    choice)."""
+    from cl_tpu.pallas.packed_eltwise import bn_relu_packed
+    return bn_relu_packed(y, scale, shift, p)
 
 
 class PackedLevel(nn.Module):

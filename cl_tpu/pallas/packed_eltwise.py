@@ -1,0 +1,152 @@
+"""Packed-view elementwise kernels: BN·ReLU apply and its analytic VJP.
+
+`models/unet.py::bn_relu_apply` materializes z = relu(y·scale+shift) on a
+lane-packed [B,H,G,L] view as plain jnp elementwise.  XLA's layout
+assignment treats those fused elementwise ops as free to re-tile: it
+re-associates the p-periodic vector broadcast onto the unpacked [N,C]
+view and inserts ~2 ms f32 retiling copies per pass at 512² around the
+neighbouring custom calls (measured; DESIGN.md §8 "packed-domain UNet").
+An `optimization_barrier` protects the vectors but NOT the layout choice.
+
+These kernels do the same math inside `pallas_call`s, whose operands and
+results carry the default layout — chained custom calls then pass arrays
+through with no relayout.  The backward is analytic (one fused pass):
+
+    t  = y·s + b          (f32)
+    du = [t > 0]·dz       (ReLU mask)
+    dy = du·s             dsc_l = Σ du·y      dsh_l = Σ du
+
+with the [L]→[C] p-fold of the vector cotangents done outside (tiny).
+Both kernels view the packed tensor as flat [N, L] rows (free reshape —
+the minor lane dim is unchanged).
+
+Capability parity: the BatchNorm-apply+ReLU between UNet conv levels
+(SURVEY.md §2.1 "UNet": conv3×3+BN+ReLU blocks); interpret mode runs the
+same kernels on CPU for the unit suites.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cl_tpu.pallas import common
+
+_TARGET_ROWS = 2048
+
+
+def _pick_tn(n: int) -> int:
+    """Rows per grid tile: the largest divisor of n that is ≤ the target
+    and a multiple of 8 (or n itself when n is small)."""
+    if n <= _TARGET_ROWS:
+        return n
+    tn = _TARGET_ROWS // 8 * 8
+    while tn >= 8:
+        if n % tn == 0:
+            return tn
+        tn -= 8
+    return n  # no aligned divisor — single tile
+
+
+def _fwd_kernel(y_ref, s_ref, b_ref, z_ref):
+    t = y_ref[...].astype(jnp.float32) * s_ref[0] + b_ref[0]
+    z_ref[...] = jnp.maximum(t, 0.0).astype(z_ref.dtype)
+
+
+def _bwd_kernel(y_ref, dz_ref, s_ref, b_ref, dy_ref, ds_ref, acc):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    yf = y_ref[...].astype(jnp.float32)
+    t = yf * s_ref[0] + b_ref[0]
+    du = jnp.where(t > 0, dz_ref[...].astype(jnp.float32), 0.0)
+    dy_ref[...] = (du * s_ref[0]).astype(dy_ref.dtype)
+    acc[0:1] += jnp.sum(du * yf, axis=0, keepdims=True)
+    acc[1:2] += jnp.sum(du, axis=0, keepdims=True)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        ds_ref[:] = acc[:]
+
+
+def _flat(yp):
+    shp = yp.shape
+    return yp.reshape(-1, shp[-1]), shp
+
+
+def _fwd_impl(yp, s_l, b_l):
+    y2, shp = _flat(yp)
+    n, lanes = y2.shape
+    tn = _pick_tn(n)
+    z = pl.pallas_call(
+        _fwd_kernel,
+        grid=(n // tn,),
+        in_specs=[
+            pl.BlockSpec((tn, lanes), lambda i: (i, 0)),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tn, lanes), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, lanes), yp.dtype),
+        interpret=common.interpret_mode(),
+    )(y2, s_l.reshape(1, -1), b_l.reshape(1, -1))
+    return z.reshape(shp)
+
+
+def _bwd_impl(yp, dz, s_l, b_l):
+    y2, shp = _flat(yp)
+    dz2, _ = _flat(dz)
+    n, lanes = y2.shape
+    tn = _pick_tn(n)
+    dy, ds = pl.pallas_call(
+        _bwd_kernel,
+        grid=(n // tn,),
+        in_specs=[
+            pl.BlockSpec((tn, lanes), lambda i: (i, 0)),
+            pl.BlockSpec((tn, lanes), lambda i: (i, 0)),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((tn, lanes), lambda i: (i, 0)),
+                   pl.BlockSpec((2, lanes), lambda i: (0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((n, lanes), yp.dtype),
+                   jax.ShapeDtypeStruct((2, lanes), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((2, lanes), jnp.float32)],
+        interpret=common.interpret_mode(),
+    )(y2, dz2, s_l.reshape(1, -1), b_l.reshape(1, -1))
+    return dy.reshape(shp), ds[0], ds[1]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def bn_relu_packed(yp, scale, shift, p):
+    """z = relu(yp·tile(scale,p) + tile(shift,p)) on a packed [...,L]
+    view, L = p·C, with scale/shift [C] f32.  Drop-in for the jnp
+    `bn_relu_apply` but immune to XLA's packed-elementwise relayouts."""
+    s_l = jnp.tile(scale, p)
+    b_l = jnp.tile(shift, p)
+    return _fwd_impl(yp, s_l, b_l)
+
+
+def _brp_fwd(yp, scale, shift, p):
+    s_l = jnp.tile(scale, p)
+    b_l = jnp.tile(shift, p)
+    return _fwd_impl(yp, s_l, b_l), (yp, s_l, b_l)
+
+
+def _brp_bwd(p, res, dz):
+    yp, s_l, b_l = res
+    dy, dsc_l, dsh_l = _bwd_impl(yp, dz, s_l, b_l)
+    c = s_l.shape[0] // p
+    dscale = dsc_l.reshape(p, c).sum(0)
+    dshift = dsh_l.reshape(p, c).sum(0)
+    return dy, dscale, dshift
+
+
+bn_relu_packed.defvjp(_brp_fwd, _brp_bwd)
