@@ -627,32 +627,289 @@ def _cbf_fwd(xp, w, a_l, b_l, p, prologue):
 
 
 def _cbf_bwd(p, prologue, res, cots):
+    """Backward of conv_bn_fused, entirely in-kernel (no XLA elementwise
+    on packed views — those trigger ~2 ms relayout copies per pass at
+    512², DESIGN.md §8):
+
+      e  = dy + ds1 + 2·y·ds2   (stats cotangents, fused into BOTH the
+                                 dx and dW kernels' input paths)
+      dt = conv(e, w_flip)       dw = tᵀ★e  (t recomputed in prologue)
+      dxp = [u>0]·dt·a           da_l = Σ [u>0]·dt·x   db_l = Σ [u>0]·dt
+
+    with the prologue chain (mask/da/db) as the dx kernel's epilogue."""
     xp, w, a_l, b_l, y = res
     dy, ds1, ds2 = cots
-    # stats cotangents: d(Σy)/dy = 1, d(Σy²)/dy = 2y (one fused pass).
-    # The barrier stops XLA from rewriting the periodic-vector broadcast
-    # onto the unpacked [N,C] view (f32 retiling copies, DESIGN.md §8).
-    ds1, ds2 = jax.lax.optimization_barrier((ds1, ds2))
-    dy_eff = (dy.astype(jnp.float32) + ds1
-              + 2.0 * y.astype(jnp.float32) * ds2).astype(xp.dtype)
     c_in = w.shape[2]
     w_dx = jnp.flip(w, (0, 1)).swapaxes(2, 3)
-    dt = _fwd_packed(dy_eff, w_dx, p)
-    dw = _dw_bn_impl(xp, dy_eff, c_in, a_l, b_l, p, prologue)
+    dxp, da_l, db_l = _dx_bn_impl(dy, y, xp, w_dx, ds1, ds2, a_l, b_l,
+                                  p, prologue)
+    dw = _dw_bn2_impl(xp, dy, y, ds1, ds2, c_in, a_l, b_l, p, prologue)
     dw = dw.astype(w.dtype)
-    if prologue:
-        a_b, b_b = jax.lax.optimization_barrier((a_l, b_l))
-        xf = xp.astype(jnp.float32)
-        u = xf * a_b + b_b
-        du = jnp.where(u > 0, dt.astype(jnp.float32), 0.0)
-        dxp = (du * a_b).astype(xp.dtype)
-        da_l = jnp.sum(du * xf, axis=(0, 1, 2))
-        db_l = jnp.sum(du, axis=(0, 1, 2))
-    else:
-        dxp = dt.astype(xp.dtype)
+    if not prologue:
         da_l = jnp.zeros_like(a_l)
         db_l = jnp.zeros_like(b_l)
     return dxp, dw, da_l, db_l
 
 
 conv_bn_fused.defvjp(_cbf_fwd, _cbf_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused backward kernels (dy_eff prologue + mask/da/db epilogue)
+# ---------------------------------------------------------------------------
+
+
+def _vmem_estimate_dx(th, wg, lanes, k, out_lanes, itemsize,
+                      epilogue) -> int:
+    """Scoped-VMEM accounting for one dx grid step: TWO double-buffered
+    halo scratches (dy, y), the f32 dy_eff temp, weight/out blocks,
+    pieces, the f32 conv accumulator, and the epilogue's xp block and
+    f32 temps."""
+    rows = th * wg
+    est = (2 * 2 * (th + 4) * wg * lanes * itemsize  # dy + y scratches
+           + (th + 4) * wg * lanes * 4               # f32 e temp
+           + 2 * 3 * k * out_lanes * itemsize        # W' block
+           + 2 * th * wg * out_lanes * itemsize      # dx out block
+           + 3 * rows * lanes * itemsize             # pieces
+           + rows * out_lanes * 4)                   # f32 conv acc
+    if epilogue:
+        est += (2 * th * wg * out_lanes * itemsize   # xp block
+                + 3 * rows * out_lanes * 4)          # xb/u/du f32 temps
+    return est
+
+
+def _pick_th_dx(h, wg, lanes, k, out_lanes, itemsize, epilogue) -> int:
+    if h <= 16:
+        th = h
+        if _vmem_estimate_dx(th, wg, lanes, k, out_lanes, itemsize,
+                             epilogue) <= _VMEM_BUDGET:
+            return th
+        return 0
+    th = min(h, max(8, (2048 // max(1, wg)) // 8 * 8))
+    while th >= 8:
+        if h % th == 0 and _vmem_estimate_dx(
+                th, wg, lanes, k, out_lanes, itemsize,
+                epilogue) <= _VMEM_BUDGET:
+            return th
+        th -= 8
+    return 0
+
+
+def _dy_eff_tile(sdy, syv, slot, s1_ref, s2_ref, dtype):
+    """e = dy + ds1 + 2·y·ds2 on the whole scratch tile (halo rows
+    included — e is positionwise, so real neighbour rows transform
+    correctly and out-of-image rows are zeroed afterwards)."""
+    e = (sdy[slot].astype(jnp.float32) + s1_ref[:][0]
+         + 2.0 * syv[slot].astype(jnp.float32) * s2_ref[:][0])
+    sdy[slot] = e.astype(dtype)
+
+
+def _dx_bn_kernel(dy_hbm, y_hbm, x_ref, w_ref, s1_ref, s2_ref, a_ref,
+                  b_ref, dx_ref, ds_ref, sdy, syv, semd, semy, acc2, *,
+                  nh, th, wg, lanes, k, c_in, epilogue):
+    slot = _wait_dma_nozero(dy_hbm, sdy, semd, nh=nh, th=th)
+    _wait_dma_nozero(y_hbm, syv, semy, nh=nh, th=th)
+    _dy_eff_tile(sdy, syv, slot, s1_ref, s2_ref, dy_hbm.dtype)
+    _zero_halo_rows(sdy, slot, nh=nh, th=th)
+    i = pl.program_id(0)
+    if epilogue:
+        @pl.when(i == 0)
+        def _():
+            acc2[:] = jnp.zeros_like(acc2)
+
+    vflat = sdy[slot].reshape((th + 4) * wg, lanes)
+    acc = None
+    for u in range(3):
+        pa, pb, pc = _pieces(vflat, u, th=th, wg=wg, lanes=lanes,
+                             c_in=c_in, dtype=dy_hbm.dtype)
+        r0 = u * k
+        for patch, lo, hi in ((pa, r0, r0 + c_in),
+                              (pb, r0 + c_in, r0 + c_in + lanes),
+                              (pc, r0 + c_in + lanes, r0 + k)):
+            d = jax.lax.dot_general(
+                patch, w_ref[lo:hi, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+    out_lanes = dx_ref.shape[-1]
+    if epilogue:
+        xb = x_ref[0].reshape(th * wg, out_lanes).astype(jnp.float32)
+        uu = xb * a_ref[:][0] + b_ref[:][0]
+        du = jnp.where(uu > 0, acc, 0.0)
+        dx_ref[0] = (du * a_ref[:][0]).reshape(
+            th, wg, out_lanes).astype(dx_ref.dtype)
+        acc2[0:1] += jnp.sum(du * xb, axis=0, keepdims=True)
+        acc2[1:2] += jnp.sum(du, axis=0, keepdims=True)
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            ds_ref[:] = acc2[:]
+    else:
+        dx_ref[0] = acc.reshape(th, wg, out_lanes).astype(dx_ref.dtype)
+
+
+def _dx_slim_kernel(dy_hbm, y_hbm, w_ref, s1_ref, s2_ref, dx_ref, sdy,
+                    syv, semd, semy, *, nh, th, wg, lanes, k, c_in):
+    """dx conv of e = dy+ds1+2y·ds2 without the prologue epilogue (the
+    level-entry convs: stem / split, whose input isn't BN·ReLU'd)."""
+    slot = _wait_dma_nozero(dy_hbm, sdy, semd, nh=nh, th=th)
+    _wait_dma_nozero(y_hbm, syv, semy, nh=nh, th=th)
+    _dy_eff_tile(sdy, syv, slot, s1_ref, s2_ref, dy_hbm.dtype)
+    _zero_halo_rows(sdy, slot, nh=nh, th=th)
+    vflat = sdy[slot].reshape((th + 4) * wg, lanes)
+    acc = None
+    for u in range(3):
+        pa, pb, pc = _pieces(vflat, u, th=th, wg=wg, lanes=lanes,
+                             c_in=c_in, dtype=dy_hbm.dtype)
+        r0 = u * k
+        for patch, lo, hi in ((pa, r0, r0 + c_in),
+                              (pb, r0 + c_in, r0 + c_in + lanes),
+                              (pc, r0 + c_in + lanes, r0 + k)):
+            d = jax.lax.dot_general(
+                patch, w_ref[lo:hi, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+    out_lanes = dx_ref.shape[-1]
+    dx_ref[0] = acc.reshape(th, wg, out_lanes).astype(dx_ref.dtype)
+
+
+def _dx_bn_impl(dy, y, xp, w_dx, ds1, ds2, a_l, b_l, p, prologue):
+    """dxp (and da_l/db_l when ``prologue``) from the packed cotangent:
+    the dx conv of e = dy+ds1+2y·ds2 with the flipped kernel, with the
+    BN·ReLU prologue's backward as an in-kernel epilogue."""
+    b, h, wg, lanes = dy.shape
+    c_in = w_dx.shape[2]          # = forward c_out (contraction channel)
+    c_out = w_dx.shape[-1]        # = forward c_in
+    out_lanes = p * c_out
+    itemsize = dy.dtype.itemsize
+    k = (p + 2) * c_in
+    th = _pick_th_dx(h, wg, lanes, k, out_lanes, itemsize, prologue)
+    assert th > 0, "dx geometry must fit whenever the forward did"
+    nh = h // th
+    wp = pack_weights(w_dx, p)
+    scratch_shapes = [
+        pltpu.VMEM((2, th + 4, wg, lanes), dy.dtype),
+        pltpu.VMEM((2, th + 4, wg, lanes), dy.dtype),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if not prologue:
+        dxp = pl.pallas_call(
+            functools.partial(_dx_slim_kernel, nh=nh, th=th, wg=wg,
+                              lanes=lanes, k=k, c_in=c_in),
+            grid=(b * nh,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((3 * k, out_lanes), lambda i: (0, 0)),
+                pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+                pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, th, wg, out_lanes),
+                                   lambda i: (i, 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b * nh, th, wg, out_lanes),
+                                           xp.dtype),
+            scratch_shapes=scratch_shapes,
+            interpret=common.interpret_mode(),
+        )(dy, y, wp, ds1.reshape(1, -1), ds2.reshape(1, -1))
+        zeros = jnp.zeros((out_lanes,), jnp.float32)
+        return dxp.reshape(b, h, wg, out_lanes), zeros, zeros
+    xb = xp.reshape(b * nh, th, wg, out_lanes)
+    kern = functools.partial(_dx_bn_kernel, nh=nh, th=th, wg=wg,
+                             lanes=lanes, k=k, c_in=c_in, epilogue=True)
+    dxp, ds = pl.pallas_call(
+        kern,
+        grid=(b * nh,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),              # dy
+            pl.BlockSpec(memory_space=pl.ANY),              # y
+            pl.BlockSpec((1, th, wg, out_lanes), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((3 * k, out_lanes), lambda i: (0, 0)),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0)),     # ds1
+            pl.BlockSpec((1, lanes), lambda i: (0, 0)),     # ds2
+            pl.BlockSpec((1, out_lanes), lambda i: (0, 0)),  # a_l
+            pl.BlockSpec((1, out_lanes), lambda i: (0, 0)),  # b_l
+        ],
+        out_specs=(pl.BlockSpec((1, th, wg, out_lanes),
+                                lambda i: (i, 0, 0, 0)),
+                   pl.BlockSpec((2, out_lanes), lambda i: (0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((b * nh, th, wg, out_lanes),
+                                        xp.dtype),
+                   jax.ShapeDtypeStruct((2, out_lanes), jnp.float32)),
+        scratch_shapes=scratch_shapes + [
+            pltpu.VMEM((2, out_lanes), jnp.float32),
+        ],
+        interpret=common.interpret_mode(),
+    )(dy, y, xb, wp, ds1.reshape(1, -1), ds2.reshape(1, -1),
+      a_l.reshape(1, -1), b_l.reshape(1, -1))
+    return dxp.reshape(b, h, wg, out_lanes), ds[0], ds[1]
+
+
+def _dw_bn2_kernel(xp_hbm, dy_ref, yv_ref, a_ref, b_ref, s1_ref, s2_ref,
+                   dw_ref, scratch, sems, acc, *, nh, th, wg, lanes, k,
+                   c_in, prologue):
+    slot = _wait_dma_nozero(xp_hbm, scratch, sems, nh=nh, th=th)
+    if prologue:
+        _apply_prologue(scratch, slot, a_ref, b_ref, xp_hbm.dtype)
+    _zero_halo_rows(scratch, slot, nh=nh, th=th)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    vflat = scratch[slot].reshape((th + 4) * wg, lanes)
+    e = (dy_ref[0].astype(jnp.float32) + s1_ref[:][0]
+         + 2.0 * yv_ref[0].astype(jnp.float32) * s2_ref[:][0]
+         ).astype(xp_hbm.dtype)
+    dy2 = e.reshape(th * wg, dy_ref.shape[-1])
+    for u in range(3):
+        pa, pb, pc = _pieces(vflat, u, th=th, wg=wg, lanes=lanes,
+                             c_in=c_in, dtype=xp_hbm.dtype)
+        r0 = u * k
+        for patch, lo, hi in ((pa, r0, r0 + c_in),
+                              (pb, r0 + c_in, r0 + c_in + lanes),
+                              (pc, r0 + c_in + lanes, r0 + k)):
+            acc[lo:hi] += jax.lax.dot_general(
+                patch, dy2, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        dw_ref[:] = acc[:]
+
+
+def _dw_bn2_impl(xp, dy, y, ds1, ds2, c_in, a_l, b_l, p_force, prologue):
+    """dW with BOTH fusions in-kernel: the BN·ReLU prologue recompute of
+    t (from xp) and the stats-cotangent dy_eff (from dy, y, ds1, ds2)."""
+    b, h, wg_in, lanes_in = xp.shape
+    wid = wg_in * lanes_in // c_in
+    c_out = dy.shape[-1] // (lanes_in // c_in)
+    p, wg, th, nh, lanes, k = _geometry(h, wid, c_in, c_out,
+                                        xp.dtype.itemsize, p_force)
+    assert (wg_in, lanes_in) == (wg, lanes)
+    dyb = dy.reshape(b * nh, th, wg, p * c_out)
+    yb = y.reshape(b * nh, th, wg, p * c_out)
+    dwp = pl.pallas_call(
+        functools.partial(_dw_bn2_kernel, nh=nh, th=th, wg=wg,
+                          lanes=lanes, k=k, c_in=c_in, prologue=prologue),
+        grid=(b * nh,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, th, wg, p * c_out), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, th, wg, p * c_out), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+            pl.BlockSpec((1, p * c_out), lambda i: (0, 0)),
+            pl.BlockSpec((1, p * c_out), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((3 * k, p * c_out), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((3 * k, p * c_out), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 4, wg, lanes), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((3 * k, p * c_out), jnp.float32),
+        ],
+        interpret=common.interpret_mode(),
+    )(xp, dyb, yb, a_l.reshape(1, -1), b_l.reshape(1, -1),
+      ds1.reshape(1, -1), ds2.reshape(1, -1))
+    return _fold_dw(dwp, p, c_in, c_out)

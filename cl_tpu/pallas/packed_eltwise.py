@@ -36,15 +36,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cl_tpu.pallas import common
 
-_TARGET_ROWS = 2048
+_TARGET_ELEMS = 2048 * 128  # ~1 MB/block f32 — the bwd kernel keeps
+#                             several f32 temps live; deep levels have
+#                             wide lanes (512 at level 2), so the row
+#                             count must scale down with lane width.
 
 
-def _pick_tn(n: int) -> int:
-    """Rows per grid tile: the largest divisor of n that is ≤ the target
-    and a multiple of 8 (or n itself when n is small)."""
-    if n <= _TARGET_ROWS:
+def _pick_tn(n: int, lanes: int) -> int:
+    """Rows per grid tile: the largest divisor of n that keeps the block
+    near the element target and a multiple of 8 (or n itself when n is
+    small)."""
+    target = max(8, _TARGET_ELEMS // lanes)
+    if n <= target:
         return n
-    tn = _TARGET_ROWS // 8 * 8
+    tn = target // 8 * 8
     while tn >= 8:
         if n % tn == 0:
             return tn
@@ -84,7 +89,7 @@ def _flat(yp):
 def _fwd_impl(yp, s_l, b_l):
     y2, shp = _flat(yp)
     n, lanes = y2.shape
-    tn = _pick_tn(n)
+    tn = _pick_tn(n, lanes)
     z = pl.pallas_call(
         _fwd_kernel,
         grid=(n // tn,),
@@ -104,7 +109,7 @@ def _bwd_impl(yp, dz, s_l, b_l):
     y2, shp = _flat(yp)
     dz2, _ = _flat(dz)
     n, lanes = y2.shape
-    tn = _pick_tn(n)
+    tn = _pick_tn(n, lanes)
     dy, ds = pl.pallas_call(
         _bwd_kernel,
         grid=(n // tn,),
