@@ -460,11 +460,10 @@ class PackedLevel(nn.Module):
             yu, s1b, s2b = pc3.conv_bn_fused(up_raw, ku, ones_l, zeros_l,
                                              self.p, False)
             # stats of the SUM are not the sum of stats — recompute the
-            # first-BN stats from the summed tensor (one fused pass).
-            yp = ys + yu
-            yf = yp.astype(jnp.float32)
-            s1 = jnp.sum(yf, axis=(0, 1, 2))
-            s2 = jnp.sum(yf * yf, axis=(0, 1, 2))
+            # first-BN stats from the summed tensor (one fused in-kernel
+            # pass; pallas/packed_eltwise.py).
+            from cl_tpu.pallas.packed_eltwise import add_stats_packed
+            yp, s1, s2 = add_stats_packed(ys, yu)
             n = yp.shape[0] * yp.shape[1] * yp.shape[2] * self.p
             sc0, sh0 = DeferredBatchNorm(f, self.p, dtype=self.dtype,
                                          name="bn0")(s1, s2, n,

@@ -155,3 +155,105 @@ def _brp_bwd(p, res, dz):
 
 
 bn_relu_packed.defvjp(_brp_fwd, _brp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# add + batch-stats (the packed decoder's split-entry combine)
+# ---------------------------------------------------------------------------
+#
+# The split-mode PackedLevel sums its two distributed conv outputs and
+# needs the SUM's batch stats (stats of the sum ≠ sum of the per-operand
+# stats).  As jnp this is an f32 elementwise+reduce pass over a packed
+# 512² view — the same relayout trap as bn_relu_apply.  The backward is
+# the stats-cotangent pattern shared with conv_bn_fused:
+#     d(ys) = d(yu) = dyp + ds1 + 2·yp·ds2.
+
+
+def _add_stats_kernel(a_ref, b_ref, z_ref, s_ref, acc):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    z = (a_ref[...].astype(jnp.float32)
+         + b_ref[...].astype(jnp.float32)).astype(z_ref.dtype)
+    z_ref[...] = z
+    zf = z.astype(jnp.float32)
+    acc[0:1] += jnp.sum(zf, axis=0, keepdims=True)
+    acc[1:2] += jnp.sum(zf * zf, axis=0, keepdims=True)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        s_ref[:] = acc[:]
+
+
+def _dy_eff_kernel(dz_ref, y_ref, s1_ref, s2_ref, e_ref):
+    e = (dz_ref[...].astype(jnp.float32) + s1_ref[0]
+         + 2.0 * y_ref[...].astype(jnp.float32) * s2_ref[0])
+    e_ref[...] = e.astype(e_ref.dtype)
+
+
+def _add_stats_impl(ys, yu):
+    a2, shp = _flat(ys)
+    b2, _ = _flat(yu)
+    n, lanes = a2.shape
+    tn = _pick_tn(n, lanes)
+    z, s = pl.pallas_call(
+        _add_stats_kernel,
+        grid=(n // tn,),
+        in_specs=[
+            pl.BlockSpec((tn, lanes), lambda i: (i, 0)),
+            pl.BlockSpec((tn, lanes), lambda i: (i, 0)),
+        ],
+        out_specs=(pl.BlockSpec((tn, lanes), lambda i: (i, 0)),
+                   pl.BlockSpec((2, lanes), lambda i: (0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((n, lanes), ys.dtype),
+                   jax.ShapeDtypeStruct((2, lanes), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((2, lanes), jnp.float32)],
+        interpret=common.interpret_mode(),
+    )(a2, b2)
+    return z.reshape(shp), s[0], s[1]
+
+
+def dy_eff_packed(dz, y, ds1, ds2):
+    """e = dz + ds1 + 2·y·ds2 (per-lane vectors) as one packed-view
+    kernel pass — the stats-cotangent combine, standalone."""
+    d2, shp = _flat(dz)
+    y2, _ = _flat(y)
+    n, lanes = d2.shape
+    tn = _pick_tn(n, lanes)
+    e = pl.pallas_call(
+        _dy_eff_kernel,
+        grid=(n // tn,),
+        in_specs=[
+            pl.BlockSpec((tn, lanes), lambda i: (i, 0)),
+            pl.BlockSpec((tn, lanes), lambda i: (i, 0)),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((tn, lanes), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, lanes), dz.dtype),
+        interpret=common.interpret_mode(),
+    )(d2, y2, ds1.reshape(1, -1), ds2.reshape(1, -1))
+    return e.reshape(shp)
+
+
+@jax.custom_vjp
+def add_stats_packed(ys, yu):
+    """(z, Σz per lane, Σz² per lane) with z = ys + yu, all in-kernel."""
+    return _add_stats_impl(ys, yu)
+
+
+def _asp_fwd(ys, yu):
+    z, s1, s2 = _add_stats_impl(ys, yu)
+    return (z, s1, s2), z
+
+
+def _asp_bwd(z, cots):
+    dz, ds1, ds2 = cots
+    e = dy_eff_packed(dz, z, ds1, ds2)
+    return e, e
+
+
+add_stats_packed.defvjp(_asp_fwd, _asp_bwd)

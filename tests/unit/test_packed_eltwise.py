@@ -56,6 +56,49 @@ def test_gradients_match_ad():
                                    atol=1e-5, rtol=1e-5)
 
 
+def test_add_stats_matches_reference():
+    from cl_tpu.pallas.packed_eltwise import add_stats_packed
+    rng = np.random.RandomState(3)
+    ys = jnp.asarray(rng.randn(2, 8, 4, 128).astype(np.float32))
+    yu = jnp.asarray(rng.randn(2, 8, 4, 128).astype(np.float32))
+    z, s1, s2 = add_stats_packed(ys, yu)
+    zf = (ys + yu).astype(jnp.float32)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(ys + yu),
+                               atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(s1),
+                               np.asarray(jnp.sum(zf, axis=(0, 1, 2))),
+                               atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2),
+                               np.asarray(jnp.sum(zf * zf, axis=(0, 1, 2))),
+                               atol=1e-4, rtol=1e-5)
+
+
+def test_add_stats_grads_match_ad():
+    from cl_tpu.pallas.packed_eltwise import add_stats_packed
+    rng = np.random.RandomState(4)
+    ys = jnp.asarray(rng.randn(1, 8, 4, 128).astype(np.float32))
+    yu = jnp.asarray(rng.randn(1, 8, 4, 128).astype(np.float32))
+    c1 = jnp.asarray(rng.randn(1, 8, 4, 128).astype(np.float32))
+    c2 = jnp.asarray(rng.randn(128).astype(np.float32))
+    c3 = jnp.asarray(rng.randn(128).astype(np.float32))
+
+    def loss_k(a, b):
+        z, s1, s2 = add_stats_packed(a, b)
+        return jnp.vdot(z, c1) + jnp.vdot(s1, c2) + jnp.vdot(s2, c3)
+
+    def loss_r(a, b):
+        z = a + b
+        zf = z.astype(jnp.float32)
+        return (jnp.vdot(z, c1) + jnp.vdot(jnp.sum(zf, (0, 1, 2)), c2)
+                + jnp.vdot(jnp.sum(zf * zf, (0, 1, 2)), c3))
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(ys, yu)
+    gr = jax.grad(loss_r, argnums=(0, 1))(ys, yu)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-5)
+
+
 def test_grad_bf16_storage():
     """bf16 activations: dy is bf16, vector cotangents stay f32."""
     rng = np.random.RandomState(2)
