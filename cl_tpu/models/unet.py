@@ -437,17 +437,30 @@ class PackedLevel(nn.Module):
         f = self.features
         ones = jnp.ones((1,), jnp.float32)
         if self.mode == "stem":
-            y = Conv3x3(f, conv_impl="xla", dtype=self.dtype,
-                        name="conv0")(x)
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype,
-                             param_dtype=jnp.float32, name="bn0")(y)
-            y = nn.relu(y)
-            b, h, w, cc = y.shape
-            xp = y.reshape(b, h, w // self.p, self.p * cc)
-            a0 = jnp.tile(ones, self.p * f)
-            b0 = jnp.zeros((self.p * f,), jnp.float32)
-            prologue0 = False
+            # RGB stem IN the packed domain: pad channels 3 → 128/p so
+            # the input's packed view is lane-aligned, then conv0 runs as
+            # a conv_bn_fused kernel (stats epilogue) — replacing the XLA
+            # conv + BatchNorm + ReLU + pack-relayout chain (~8 ms at
+            # 512², DESIGN.md §8).  The pad+reshape is the only XLA copy
+            # left on this path; dx of the image is dead code (DCE'd).
+            c_pad = 128 // self.p
+            b, h, w, _ = x.shape
+            xpad = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, c_pad - 3)))
+            xp0 = xpad.reshape(b, h, w // self.p, self.p * c_pad)
+            k0 = Conv3x3Param(f, 3, name="conv0")()
+            k0p = jnp.pad(k0, ((0, 0), (0, 0), (0, c_pad - 3), (0, 0)))
+            ones0 = jnp.ones((self.p * c_pad,), jnp.float32)
+            zeros0 = jnp.zeros((self.p * c_pad,), jnp.float32)
+            y0, s1z, s2z = pc3.conv_bn_fused(
+                xp0, k0p.astype(self.dtype), ones0, zeros0, self.p, False)
+            n0 = y0.shape[0] * y0.shape[1] * y0.shape[2] * self.p
+            sc0, sh0 = DeferredBatchNorm(f, self.p, dtype=self.dtype,
+                                         name="bn0")(s1z, s2z, n0,
+                                                     train=train)
+            xp = y0
+            a0 = jnp.tile(sc0, self.p)
+            b0 = jnp.tile(sh0, self.p)
+            prologue0 = True
         elif self.mode == "split":
             skip_z, up_raw = x
             k0 = Conv3x3Param(f, 2 * f, name="conv0")()
@@ -552,7 +565,12 @@ def packed_prefix(image_size: int, base_channels: int, depth: int,
         c_in = 3 if l == 0 else feats // 2
         g = h // P
         if l == 0:
-            convs_ok = pc3.supported(h, h, feats, feats, itemsize, p=P)
+            # stem: conv0 runs packed on the channel-padded (3 → 128/P)
+            # input view, conv1 on the [*, P·feats] view
+            convs_ok = (pc3.supported(h, h, 128 // P, feats, itemsize,
+                                      p=P)
+                        and pc3.supported(h, h, feats, feats, itemsize,
+                                          p=P))
         else:
             convs_ok = (pc3.supported(h, h, c_in, feats, itemsize, p=P)
                         and pc3.supported(h, h, feats, feats, itemsize,
