@@ -28,3 +28,16 @@ def flatten_f32(tree) -> jax.Array:
 
 def pad_to(v: jax.Array, n: int, value: float = 0.0) -> jax.Array:
     return jnp.pad(v, (0, n - v.shape[0]), constant_values=value)
+
+
+def colsum(m: jax.Array) -> jax.Array:
+    """[R, L] → [1, L] column sum VIA THE MXU (ones-vector matmul).
+
+    In-kernel ``jnp.sum(x, axis=0)`` lowers to a cross-sublane VPU tree
+    reduce — measured ~3 ms for a 512² stats epilogue pass vs ~0.5 ms
+    HBM floor.  A [1,R]@[R,L] dot does the same reduction on the MXU at
+    negligible cost (R·L MACs)."""
+    ones = jnp.ones((1, m.shape[0]), jnp.float32)
+    return jax.lax.dot_general(
+        ones, m.astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)

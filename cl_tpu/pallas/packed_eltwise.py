@@ -73,8 +73,8 @@ def _bwd_kernel(y_ref, dz_ref, s_ref, b_ref, dy_ref, ds_ref, acc):
     t = yf * s_ref[0] + b_ref[0]
     du = jnp.where(t > 0, dz_ref[...].astype(jnp.float32), 0.0)
     dy_ref[...] = (du * s_ref[0]).astype(dy_ref.dtype)
-    acc[0:1] += jnp.sum(du * yf, axis=0, keepdims=True)
-    acc[1:2] += jnp.sum(du, axis=0, keepdims=True)
+    acc[0:1] += common.colsum(du * yf)
+    acc[1:2] += common.colsum(du)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -180,8 +180,8 @@ def _add_stats_kernel(a_ref, b_ref, z_ref, s_ref, acc):
          + b_ref[...].astype(jnp.float32)).astype(z_ref.dtype)
     z_ref[...] = z
     zf = z.astype(jnp.float32)
-    acc[0:1] += jnp.sum(zf, axis=0, keepdims=True)
-    acc[1:2] += jnp.sum(zf * zf, axis=0, keepdims=True)
+    acc[0:1] += common.colsum(zf)
+    acc[1:2] += common.colsum(zf * zf)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():

@@ -94,6 +94,11 @@ def _fwd_kernel(x_ref, y_ref, *, th, g, lanes, c):
 
 
 def _bwd_kernel(x_ref, dy_ref, dx_ref, *, th, g, lanes, c):
+    """dx block is DECLARED with the interleave structure
+    [1, th, 2(row phase), g/2, 2(group parity), lanes] so the routed
+    quadrants are written as four plane STORES — the earlier
+    stack+reshape interleaves were cross-sublane vreg shuffles costing
+    ~3.5 ms at the 512² level (measured; the reshape outside is free)."""
     p = lanes // c
     v = x_ref[0].reshape(th, 2, g, lanes)
     r0, r1 = v[:, 0], v[:, 1]
@@ -109,49 +114,37 @@ def _bwd_kernel(x_ref, dy_ref, dx_ref, *, th, g, lanes, c):
         dbot = jnp.where(sel_row, zero, dy)
         s0 = _ge(v0[:, :, 0], v0[:, :, 1])
         s1 = _ge(v1[:, :, 0], v1[:, :, 1])
-        d0 = jnp.stack([jnp.where(s0, dtop, zero),
-                        jnp.where(s0, zero, dtop)], axis=2)
-        d1 = jnp.stack([jnp.where(s1, dbot, zero),
-                        jnp.where(s1, zero, dbot)], axis=2)
-        d0 = d0.reshape(th, g, lanes)
-        d1 = d1.reshape(th, g, lanes)
-        dx_ref[0] = jnp.stack([d0, d1], axis=1).reshape(2 * th, g, lanes)
+        dx_ref[0, :, 0, :, 0] = jnp.where(s0, dtop, zero)
+        dx_ref[0, :, 0, :, 1] = jnp.where(s0, zero, dtop)
+        dx_ref[0, :, 1, :, 0] = jnp.where(s1, dbot, zero)
+        dx_ref[0, :, 1, :, 1] = jnp.where(s1, zero, dbot)
         return
     v0 = r0.reshape(th, g // 2, 2, lanes)
     v1 = r1.reshape(th, g // 2, 2, lanes)
     dy = dy_ref[0]                                 # [th, G/2, L]
-    dgp = []                                       # per input group parity
-    for gp in range(2):
-        e0 = [v0[:, :, gp, (2 * u) * c:(2 * u + 1) * c]
-              for u in range(p // 2)]
-        o0 = [v0[:, :, gp, (2 * u + 1) * c:(2 * u + 2) * c]
-              for u in range(p // 2)]
-        e1 = [v1[:, :, gp, (2 * u) * c:(2 * u + 1) * c]
-              for u in range(p // 2)]
-        o1 = [v1[:, :, gp, (2 * u + 1) * c:(2 * u + 2) * c]
-              for u in range(p // 2)]
+    for gp in range(2):                            # input group parity
         d0_blocks, d1_blocks = [], []
         for u in range(p // 2):
-            m0 = jnp.maximum(e0[u], o0[u])
-            m1 = jnp.maximum(e1[u], o1[u])
+            e0 = v0[:, :, gp, (2 * u) * c:(2 * u + 1) * c]
+            o0 = v0[:, :, gp, (2 * u + 1) * c:(2 * u + 2) * c]
+            e1 = v1[:, :, gp, (2 * u) * c:(2 * u + 1) * c]
+            o1 = v1[:, :, gp, (2 * u + 1) * c:(2 * u + 2) * c]
+            m0 = jnp.maximum(e0, o0)
+            m1 = jnp.maximum(e1, o1)
             d = dy[..., gp * (lanes // 2) + u * c:
                    gp * (lanes // 2) + (u + 1) * c]
             sel_row = _ge(m0, m1)                     # tie -> first row
             dtop = jnp.where(sel_row, d, zero)
             dbot = jnp.where(sel_row, zero, d)
-            s0 = _ge(e0[u], o0[u])                    # tie -> first column
-            s1 = _ge(e1[u], o1[u])
+            s0 = _ge(e0, o0)                          # tie -> first column
+            s1 = _ge(e1, o1)
             d0_blocks += [jnp.where(s0, dtop, zero),
                           jnp.where(s0, zero, dtop)]
             d1_blocks += [jnp.where(s1, dbot, zero),
                           jnp.where(s1, zero, dbot)]
-        d0 = jnp.concatenate(d0_blocks, axis=-1)   # [th, G/2, L]
-        d1 = jnp.concatenate(d1_blocks, axis=-1)
-        dgp.append((d0, d1))
-    # interleave group parities (sublane merge), then row phases
-    d0 = jnp.stack([dgp[0][0], dgp[1][0]], axis=2).reshape(th, g, lanes)
-    d1 = jnp.stack([dgp[0][1], dgp[1][1]], axis=2).reshape(th, g, lanes)
-    dx_ref[0] = jnp.stack([d0, d1], axis=1).reshape(2 * th, g, lanes)
+        # lane concat (static lane offsets) — no sublane movement
+        dx_ref[0, :, 0, :, gp] = jnp.concatenate(d0_blocks, axis=-1)
+        dx_ref[0, :, 1, :, gp] = jnp.concatenate(d1_blocks, axis=-1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -185,6 +178,9 @@ def _bwd(c, xp, dy):
     ho = h // 2
     nh = ho // th
     dy = dy.astype(xp.dtype)
+    # out block carries the interleave structure (row phase, group
+    # parity) as its own dims — the flat view is the same linear order,
+    # so the final reshape is free (see _bwd_kernel docstring).
     dx = pl.pallas_call(
         functools.partial(_bwd_kernel, th=th, g=g, lanes=lanes, c=c),
         grid=(b * nh,),
@@ -192,9 +188,9 @@ def _bwd(c, xp, dy):
                                lambda i: (i, 0, 0, 0)),
                   pl.BlockSpec((1, th, g // 2, lanes),
                                lambda i: (i, 0, 0, 0))],
-        out_specs=pl.BlockSpec((1, 2 * th, g, lanes),
-                               lambda i: (i, 0, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * nh, 2 * th, g, lanes),
+        out_specs=pl.BlockSpec((1, th, 2, g // 2, 2, lanes),
+                               lambda i: (i, 0, 0, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * nh, th, 2, g // 2, 2, lanes),
                                        xp.dtype),
         interpret=common.interpret_mode(),
     )(xp.reshape(b * nh, 2 * th, g, lanes),
