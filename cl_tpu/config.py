@@ -163,6 +163,14 @@ class TrainConfig:
     # numerics: f32 matmul accumulation instead of XLA's bf16-conv
     # rounding — same f32 CE arithmetic, oracle-tested.
     fused_head_ce: str = "auto"
+    # Pixel-major packed-view head+CE (head_ce.head_cross_entropy_packed):
+    # consumes the packed UNet's lane-packed features directly, removing
+    # the unpack relayout + class-major transposes (~4 ms at 512²). OFF
+    # by default: MEASURED NET-NEGATIVE in-step (the block-diagonal
+    # kernel's own cost exceeds the relayouts it saves — 61.6 vs 52.8
+    # ms/step at 512²/b8; DESIGN.md §8 "packed head"). Kept as a tested
+    # opt-in frontier.
+    packed_head_ce: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

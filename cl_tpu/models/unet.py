@@ -606,13 +606,20 @@ class UNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, train: bool = False,
-                 return_features: bool = False):
+                 return_features: bool = False,
+                 packed_features: bool = False):
         """``return_features=True`` returns the pre-head activations
         [B, H, W, base_channels] in compute dtype instead of logits —
         the operand of the fused head+CE kernel (pallas/head_ce.py),
         which applies the head's own params tile-wise in VMEM. The head
         module is not visited then; its params still exist in the tree
-        (created at init, trained through the fused kernel's VJP)."""
+        (created at init, trained through the fused kernel's VJP).
+
+        ``packed_features=True`` (with ``return_features``) keeps the
+        packed body's output on its lane-packed view [B,H,G,p·C] — the
+        operand of ``head_ce.head_cross_entropy_packed`` — skipping the
+        unpack relayout; the caller detects the view from the lane
+        width.  No-op when the packed body didn't engage."""
         c = self.base_channels
         x = x.astype(self.dtype)
 
@@ -621,7 +628,9 @@ class UNet(nn.Module):
             prefix = packed_prefix(x.shape[1], c, self.depth,
                                    jnp.dtype(self.dtype).itemsize)
         if prefix > 0:
-            x = self._packed_body(x, prefix, train=train)
+            keep = return_features and packed_features
+            x = self._packed_body(x, prefix, train=train,
+                                  keep_packed=keep)
         else:
             x = self._standard_body(x, train=train)
 
@@ -634,7 +643,7 @@ class UNet(nn.Module):
         # (SURVEY.md §6 determinism, §7 bf16 notes).
         return logits.astype(jnp.float32)
 
-    def _packed_body(self, x, prefix, *, train):
+    def _packed_body(self, x, prefix, *, train, keep_packed=False):
         """Levels [0, prefix) in the packed domain; deeper levels via the
         standard NHWC modules (same names — checkpoint-compatible), with
         pack/unpack conversions only at the (small) deep boundaries."""
@@ -701,6 +710,8 @@ class UNet(nn.Module):
                 feats, feats, P, mode="split", dtype=self.dtype,
                 name=f"dec{level}")((skips_p[level], up_p), train=train)
         z0 = bn_relu_apply(xp, dec_sc, dec_sh, P)
+        if keep_packed:
+            return z0                       # [B, H, G, P·c] packed view
         return z0.reshape(b, x.shape[1], x.shape[2], c)
 
     def _standard_body(self, x, *, train):

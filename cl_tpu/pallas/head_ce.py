@@ -225,6 +225,292 @@ def head_cross_entropy(features, head_kernel, head_bias, labels,
     return total / n, n
 
 
+# ---------------------------------------------------------------------------
+# Packed-view (pixel-major) variant — the packed-domain UNet's head
+# ---------------------------------------------------------------------------
+#
+# The class-major kernel above wants [Cin, P], which costs the packed
+# body an unpack relayout + transpose on BOTH sides of the step (~4 ms
+# at 512², DESIGN.md §8).  This variant consumes the packed view
+# [B,H,G,L] (L = p·Cin) DIRECTLY:
+#
+#   * the 1×1 head is a block-diagonal matmul: Wbd [L, p·Cp] with p
+#     copies of W[Cin, Cp] on the diagonal (Cp = L/p ≥ C classes, padded
+#     lanes masked invalid) — each lane group's p pixels get their own
+#     Cp-lane logit block;
+#   * softmax needs PER-PIXEL (segmented) reductions over Cp-lane
+#     blocks: sums ride the MXU (z @ S, S[l,i] = [l in block i]), the
+#     p-fold max uses p static lane slices; scalars broadcast back to
+#     lanes with the transposed selector (m4 @ Sᵀ);
+#   * labels enter packed [rows, p] (f32 — exact for class ids) and are
+#     expanded to lanes the same way.
+#
+# dfeat leaves the kernel ALREADY PACKED — zero XLA ops touch the
+# packed tensors on either side.
+
+
+def _block_bcast(t, cp, fn):
+    """Per-cp-lane-block reduce-and-splat: slice → lane reduce [rows,1]
+    → broadcast back to the block's lanes → lane concat.  Everything
+    stays full-width [rows, L]; no [rows, p]-shaped tensors and no
+    tiny-operand matmuls (both measured pathologically slow in Mosaic)."""
+    rows = t.shape[0]
+    outs = []
+    for i in range(t.shape[-1] // cp):
+        r = fn(t[:, i * cp:(i + 1) * cp])              # [rows, 1]
+        outs.append(jnp.broadcast_to(r, (rows, cp)))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _lbl_lanes(lbl_ref, cp, ignore_index):
+    """Pre-expanded label block [rows, p·cp] (uint8, one label byte per
+    LANE — see _pk_prep) → per-lane label + pixel mask."""
+    li = lbl_ref[...].astype(jnp.int32)
+    pix_l = (li != ignore_index).astype(jnp.float32)
+    return jnp.where(li != ignore_index, li, 0), pix_l
+
+
+def _packed_softmax_parts(x_ref, wbd_ref, bl_ref, vl_ref, lbl_ref,
+                          ignore_index, p, cp):
+    """Shared fwd/bwd tile math, all full-width [rows, L] f32: returns
+    (zm, m_l, logs_l, e, pix_l, onehot)."""
+    z = jax.lax.dot_general(
+        x_ref[...], wbd_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + bl_ref[0]
+    zm = jnp.where(vl_ref[0] > 0, z, NEG_INF)
+    m_l = _block_bcast(zm, cp,
+                       lambda b: jnp.max(b, axis=-1, keepdims=True))
+    e = jnp.exp(zm - m_l)
+    logs_l = _block_bcast(
+        e, cp, lambda b: jnp.log(jnp.sum(b, axis=-1, keepdims=True)))
+    lbl_l, pix_l = _lbl_lanes(lbl_ref, cp, ignore_index)
+    cls_iota = jax.lax.broadcasted_iota(jnp.int32, zm.shape, 1) % cp
+    onehot = (cls_iota == lbl_l)
+    return zm, m_l, logs_l, e, pix_l, onehot
+
+
+def _pk_fwd_kernel(ignore_index, p, cp, x_ref, wbd_ref, bl_ref, vl_ref,
+                   lbl_ref, out_ref, acc):
+    """Per-tile totals accumulate via MXU colsum into a lane vector; the
+    single lane→scalar fold happens once at the last grid step.  The
+    logz term is replicated cp× per pixel, hence the exact 1/cp scale
+    (cp is a power of two)."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    zm, m_l, logs_l, _, pix_l, onehot = _packed_softmax_parts(
+        x_ref, wbd_ref, bl_ref, vl_ref, lbl_ref, ignore_index, p, cp)
+    logz_l = m_l + logs_l
+    contrib = (logz_l * (1.0 / cp) - jnp.where(onehot, zm, 0.0)) * pix_l
+    acc[0:1] += common.colsum(contrib)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        out_ref[0, 0] = jnp.sum(acc[0:1], axis=-1)[0]
+
+
+def _pk_bwd_kernel(ignore_index, p, cp, x_ref, wbd_ref, wbdt_ref, bl_ref,
+                   vl_ref, lbl_ref, scale_ref, dx_ref, dw_ref, db_ref,
+                   dwacc, dbacc):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dwacc[:] = jnp.zeros_like(dwacc)
+        dbacc[:] = jnp.zeros_like(dbacc)
+
+    zm, m_l, _, e, pix_l, onehot = _packed_softmax_parts(
+        x_ref, wbd_ref, bl_ref, vl_ref, lbl_ref, ignore_index, p, cp)
+    r_l = _block_bcast(
+        e, cp,
+        lambda b: 1.0 / jnp.sum(b, axis=-1, keepdims=True))
+    pvec = e * r_l
+    g = scale_ref[0, 0] * pix_l * (pvec - onehot.astype(jnp.float32))
+    g = jnp.where(vl_ref[0] > 0, g, 0.0)              # [rows, p·cp] f32
+    gc = g.astype(x_ref.dtype)
+    dx_ref[...] = jax.lax.dot_general(
+        gc, wbdt_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+    # ONE full-occupancy [L, L] contraction; the p diagonal (class-block,
+    # cin-block) tiles are extracted outside the kernel (tiny).
+    dwacc[:] += jax.lax.dot_general(
+        gc, x_ref[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dbacc[:] += common.colsum(g)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        dw_ref[:] = dwacc[:]
+        db_ref[:] = dbacc[:]
+
+
+def _bd_mats(w2, b, valid_classes, p, cp, cin, dtype):
+    """Block-diagonal weights [p·cin, p·cp] (+ transpose), tiled bias and
+    validity lane vectors."""
+    C = valid_classes.shape[0]
+    wp = jnp.pad(w2, ((0, 0), (0, cp - C)))           # [cin, cp]
+    eye = jnp.eye(p, dtype=w2.dtype)
+    wbd = jnp.einsum("ij,cd->icjd", eye, wp).reshape(p * cin, p * cp)
+    wbdt = jnp.einsum("ij,cd->icjd", eye,
+                      wp.T).reshape(p * cp, p * cin)
+    bl = jnp.tile(jnp.pad(b, (0, cp - C)), p)[None, :]  # [1, p·cp] f32
+    vl = jnp.tile(jnp.pad(valid_classes.astype(jnp.float32),
+                          (0, cp - C)), p)[None, :]
+    return wbd.astype(dtype), wbdt.astype(dtype), bl, vl
+
+
+def _pk_prep(features, labels, p):
+    b_, h, g, lanes = features.shape
+    cp = lanes // p
+    x2 = features.reshape(-1, lanes)                  # [rows, L] free
+    # labels [B,H,W] → one uint8 label byte per FEATURE LANE (each
+    # pixel's label repeated over its cp class lanes): a full-lane-width
+    # block layout — a [rows, p] array would be lane-padded 128/p× in
+    # the tiled HBM layout, multiplying both its footprint and the
+    # kernel's DMA bytes.
+    lblq = labels.reshape(b_, h, g, p, 1).astype(jnp.uint8)
+    lbl_l = jnp.broadcast_to(lblq, (b_, h, g, p, cp))
+    return x2, lbl_l.reshape(-1, p * cp)
+
+
+def _pick_rows(n: int, target: int = 1024) -> int:
+    tn = min(n, target)
+    while tn >= 8:
+        if n % tn == 0:
+            return tn
+        tn -= 8
+    return n
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _head_ce_packed_total(features, w2, b, labels, valid_classes,
+                          ignore_index, p):
+    """UNNORMALIZED Σ NLL on the packed feature view [B,H,G,p·Cin]."""
+    return _head_ce_packed_fwd(features, w2, b, labels, valid_classes,
+                               ignore_index, p)[0]
+
+
+def _head_ce_packed_fwd(features, w2, b, labels, valid_classes,
+                        ignore_index, p):
+    lanes = features.shape[-1]
+    cin = lanes // p
+    cp = lanes // p if lanes // p >= valid_classes.shape[0] else None
+    assert cp is not None, "packed head needs classes <= lanes/p"
+    wbd, wbdt, bl, vl = _bd_mats(w2, b, valid_classes, p, cp, cin,
+                                 features.dtype)
+    x2, lblp = _pk_prep(features, labels, p)
+    n, _ = x2.shape
+    tn = _pick_rows(n)
+    total = pl.pallas_call(
+        functools.partial(_pk_fwd_kernel, int(ignore_index), p, cp),
+        grid=(n // tn,),
+        in_specs=[
+            pl.BlockSpec((tn, lanes), lambda i: (i, 0)),
+            pl.BlockSpec((lanes, p * cp), lambda i: (0, 0)),
+            pl.BlockSpec((1, p * cp), lambda i: (0, 0)),
+            pl.BlockSpec((1, p * cp), lambda i: (0, 0)),
+            pl.BlockSpec((tn, p * cp), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, p * cp), jnp.float32)],
+        interpret=common.interpret_mode(),
+    )(x2, wbd, bl, vl, lblp)[0, 0]
+    return total, (features, w2, b, labels, valid_classes)
+
+
+def _head_ce_packed_bwd(ignore_index, p, res, gcot):
+    features, w2, b, labels, valid_classes = res
+    lanes = features.shape[-1]
+    cin = lanes // p
+    cp = lanes // p
+    C = valid_classes.shape[0]
+    wbd, wbdt, bl, vl = _bd_mats(w2, b, valid_classes, p, cp, cin,
+                                 features.dtype)
+    x2, lblp = _pk_prep(features, labels, p)
+    n, _ = x2.shape
+    tn = _pick_rows(n)
+    scale = jnp.full((1, 1), gcot, jnp.float32)
+    dx, dwp, dbl = pl.pallas_call(
+        functools.partial(_pk_bwd_kernel, int(ignore_index), p, cp),
+        grid=(n // tn,),
+        in_specs=[
+            pl.BlockSpec((tn, lanes), lambda i: (i, 0)),
+            pl.BlockSpec((lanes, p * cp), lambda i: (0, 0)),
+            pl.BlockSpec((p * cp, lanes), lambda i: (0, 0)),
+            pl.BlockSpec((1, p * cp), lambda i: (0, 0)),
+            pl.BlockSpec((1, p * cp), lambda i: (0, 0)),
+            pl.BlockSpec((tn, p * cp), lambda i: (i, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(pl.BlockSpec((tn, lanes), lambda i: (i, 0)),
+                   pl.BlockSpec((p * cp, lanes), lambda i: (0, 0)),
+                   pl.BlockSpec((1, p * cp), lambda i: (0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((n, lanes), features.dtype),
+                   jax.ShapeDtypeStruct((p * cp, lanes), jnp.float32),
+                   jax.ShapeDtypeStruct((1, p * cp), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((p * cp, lanes), jnp.float32),
+                        pltpu.VMEM((1, p * cp), jnp.float32)],
+        interpret=common.interpret_mode(),
+    )(x2, wbd, wbdt, bl, vl, lblp, scale)
+    dfeat = dx.reshape(features.shape)
+    # the p diagonal (class-block, cin-block) tiles of the full [L, L]
+    # contraction are this head's dW (summed over pixel slots)
+    dwb = sum(dwp[u * cp:(u + 1) * cp, u * cin:(u + 1) * cin]
+              for u in range(p))
+    dw = dwb[:C, :].T                                  # [cin, C]
+    db = dbl[0].reshape(p, cp).sum(0)[:C]
+    return (dfeat, dw, db,
+            np.zeros(labels.shape, jax.dtypes.float0),
+            np.zeros(valid_classes.shape, jax.dtypes.float0))
+
+
+_head_ce_packed_total.defvjp(_head_ce_packed_fwd, _head_ce_packed_bwd)
+
+
+def head_cross_entropy_packed(features, head_kernel, head_bias, labels,
+                              valid_classes, *, p, ignore_index=255):
+    """Fused head+CE on the PACKED feature view [B,H,G,p·Cin] — same
+    return contract as :func:`head_cross_entropy` on the unpacked
+    features (oracle-equality tested); dfeat stays packed."""
+    cin = features.shape[-1] // p
+    width = head_kernel.shape[-1]
+    C = valid_classes.shape[0]
+    w2 = head_kernel.reshape(cin, width)
+    if width != C:
+        w2 = jnp.pad(w2, ((0, 0), (0, C - width)))
+        head_bias = jnp.pad(head_bias, (0, C - width))
+    n = _n_pix(labels, ignore_index)
+    total = _head_ce_packed_total(features, w2, head_bias, labels,
+                                  valid_classes, int(ignore_index), p)
+    return total / n, n
+
+
+def head_cross_entropy_packed_sharded(features, head_kernel, head_bias,
+                                      labels, valid_classes, *, p, axis,
+                                      ignore_index=255):
+    """Batch-sharded packed head+CE for use inside ``jax.shard_map``
+    (mirrors :func:`head_cross_entropy_sharded`)."""
+    cin = features.shape[-1] // p
+    width = head_kernel.shape[-1]
+    C = valid_classes.shape[0]
+    w2 = head_kernel.reshape(cin, width)
+    if width != C:
+        w2 = jnp.pad(w2, ((0, 0), (0, C - width)))
+        head_bias = jnp.pad(head_bias, (0, C - width))
+    total = _head_ce_packed_total(features, w2, head_bias, labels,
+                                  valid_classes, int(ignore_index), p)
+    n_local = (labels != ignore_index).sum().astype(jnp.float32)
+    total = jax.lax.psum(total, axis)
+    n = jnp.maximum(jax.lax.psum(n_local, axis), 1.0)
+    return total / n, n
+
+
 def head_cross_entropy_sharded(features, head_kernel, head_bias, labels,
                                valid_classes, *, axis, ignore_index=255):
     """Batch-sharded fused head+CE for use INSIDE ``jax.shard_map`` over

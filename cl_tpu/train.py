@@ -186,6 +186,7 @@ def make_train_step(cfg: Config, model: UNet, tx,
     use_fused_head = (use_pallas and not use_lwf and spatial_mesh is None
                       and fh_on)
     ce_sharded = kd_sharded = head_ce_sharded = None
+    head_ce_packed_sharded = None
     if use_fused_head and mesh is not None:
         from jax.sharding import PartitionSpec as P
 
@@ -199,6 +200,20 @@ def make_train_step(cfg: Config, model: UNet, tx,
             in_specs=(P(sharding.DATA_AXIS), P(), P(),
                       P(sharding.DATA_AXIS), P()),
             out_specs=(P(), P()), check_vma=False)
+        if (cfg.model.packed_unet and cfg.train.packed_head_ce
+                and cfg.data.num_classes <= cfg.model.base_channels):
+            from cl_tpu.pallas.conv3x3 import pick_pack as _ppk
+
+            _Ppk = _ppk(cfg.model.base_channels, cfg.model.base_channels)
+            head_ce_packed_sharded = jax.shard_map(
+                lambda ft, hw, hb, lb, v:
+                head_pallas_s.head_cross_entropy_packed_sharded(
+                    ft, hw, hb, lb, v, p=_Ppk, axis=sharding.DATA_AXIS,
+                    ignore_index=cfg.data.ignore_index),
+                mesh=mesh,
+                in_specs=(P(sharding.DATA_AXIS), P(), P(),
+                          P(sharding.DATA_AXIS), P()),
+                out_specs=(P(), P()), check_vma=False)
     if use_pallas and mesh is not None:
         from jax.sharding import PartitionSpec as P
 
@@ -234,9 +249,21 @@ def make_train_step(cfg: Config, model: UNet, tx,
     fwd_apply = model.apply if spatial_mesh is None \
         else spatial_apply_fn(cfg, spatial_mesh)
 
+    # Packed-view head+CE: when the packed UNet engages and the class
+    # count fits a lane block (C <= base_channels = lanes/p), the fused
+    # head consumes the packed features directly — no unpack relayout
+    # or class-major transpose on either side (pallas/head_ce.py).
+    want_packed_feats = (use_fused_head and cfg.model.packed_unet
+                         and cfg.train.packed_head_ce
+                         and spatial_mesh is None
+                         and cfg.data.num_classes
+                         <= cfg.model.base_channels)
+
     def apply_train(params, model_state, x, features: bool = False):
         mutable = list(model_state.keys())
         kw = {"return_features": True} if features else {}
+        if features and want_packed_feats:
+            kw["packed_features"] = True
         if mutable:
             out, new_ms = fwd_apply(
                 {"params": params, **model_state}, x, train=True,
@@ -286,11 +313,22 @@ def make_train_step(cfg: Config, model: UNet, tx,
                 feats, new_ms = apply_train(params, state.model_state, x,
                                             features=True)
                 hk, hb = params["head"]["kernel"], params["head"]["bias"]
-                if head_ce_sharded is not None:
+                from cl_tpu.pallas import head_ce as head_pallas
+                # the packed body returns its lane-packed view when it
+                # engaged — detected from the lane width
+                pk = (feats.shape[-1] != cfg.model.base_channels)
+                if pk and head_ce_packed_sharded is not None:
+                    ce, n_pix = head_ce_packed_sharded(feats, hk, hb, y,
+                                                       valid_classes)
+                elif pk:
+                    ce, n_pix = head_pallas.head_cross_entropy_packed(
+                        feats, hk, hb, y, valid_classes,
+                        p=feats.shape[-1] // cfg.model.base_channels,
+                        ignore_index=d.ignore_index)
+                elif head_ce_sharded is not None:
                     ce, n_pix = head_ce_sharded(feats, hk, hb, y,
                                                 valid_classes)
                 else:
-                    from cl_tpu.pallas import head_ce as head_pallas
                     ce, n_pix = head_pallas.head_cross_entropy(
                         feats, hk, hb, y, valid_classes,
                         ignore_index=d.ignore_index)

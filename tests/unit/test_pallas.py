@@ -413,3 +413,65 @@ def test_head_ce_train_step_matches_unfused():
     diffs = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))),
                          s_ref.params, s_got.params)
     assert max(jax.tree.leaves(diffs)) < 1e-3
+
+
+def test_head_ce_packed_matches_oracle():
+    """Packed (pixel-major) head+CE vs the same 1×1-conv + CE oracle:
+    the packed view is a free reshape of NHWC, so loss and grads must
+    match the class-major kernel's oracle."""
+    from cl_tpu.pallas import head_ce
+
+    feats, kern, bias, labels, valid = _head_fixture(seed=24)
+    p = 128 // feats.shape[-1]                 # cin=16 → p=8, lanes=128
+    b, h, w, cin = feats.shape
+    fp = feats.reshape(b, h, w // p, p * cin)
+    ref, n_ref = _head_oracle(feats, kern, bias, labels, valid, 9)
+    got, n_got = head_ce.head_cross_entropy_packed(fp, kern, bias,
+                                                   labels, valid, p=p)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    assert float(n_got) == float(n_ref)
+
+
+def test_head_ce_packed_gradients_match_oracle():
+    from cl_tpu.pallas import head_ce
+
+    feats, kern, bias, labels, valid = _head_fixture(seed=25)
+    p = 128 // feats.shape[-1]
+    b, h, w, cin = feats.shape
+
+    def f_ref(f, k, bb):
+        return _head_oracle(f, k, bb, labels, valid, 9)[0]
+
+    def f_pk(f, k, bb):
+        fp = f.reshape(b, h, w // p, p * cin)
+        return head_ce.head_cross_entropy_packed(fp, k, bb, labels,
+                                                 valid, p=p)[0]
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(feats, kern, bias)
+    g_got = jax.grad(f_pk, argnums=(0, 1, 2))(feats, kern, bias)
+    for r, g in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(g).reshape(r.shape),
+                                   np.asarray(r), rtol=1e-4, atol=1e-6)
+
+
+def test_head_ce_packed_grow_mode():
+    from cl_tpu.pallas import head_ce
+
+    feats, kern, bias, labels, valid = _head_fixture(seed=26, width=6)
+    p = 128 // feats.shape[-1]
+    b, h, w, cin = feats.shape
+    fp = feats.reshape(b, h, w // p, p * cin)
+    ref, _ = _head_oracle(feats, kern, bias, labels, valid, 9)
+    got, _ = head_ce.head_cross_entropy_packed(fp, kern, bias, labels,
+                                               valid, p=p)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+    g_got = jax.grad(
+        lambda k, bb: head_ce.head_cross_entropy_packed(
+            fp, k, bb, labels, valid, p=p)[0], argnums=(0, 1))(kern, bias)
+    g_ref = jax.grad(
+        lambda k, bb: _head_oracle(feats, k, bb, labels, valid, 9)[0],
+        argnums=(0, 1))(kern, bias)
+    assert g_got[0].shape == kern.shape and g_got[1].shape == bias.shape
+    for r, g in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-4, atol=1e-6)
