@@ -14,6 +14,9 @@ to re-measure. Flags:
                    re-measured at the same batch for a fair ratio)
     --conv=IMPL    model.conv_impl for the jax side (xla | pallas); the
                    torch baseline is impl-independent so the cache is shared
+    --packed=BOOL  model.packed_unet for the jax side (default true — the
+                   packed-domain path is the production single-chip mode:
+                   53.5 vs 70.1 ms/step at 512²/b8 bf16, DESIGN.md §8)
     --remeasure    refresh the cached torch baseline
 """
 
@@ -112,7 +115,7 @@ def _arm_method_state(cfg, state, model):
 
 
 def bench_jax(img: int, src: int, batch: int, methods: bool,
-              conv_impl: str = "xla") -> float:
+              conv_impl: str = "xla", packed: bool = True) -> float:
     import numpy as np
     import jax.numpy as jnp
 
@@ -123,9 +126,10 @@ def bench_jax(img: int, src: int, batch: int, methods: bool,
     cfg = cfg.replace(train=cfg.train.__class__(
         **{**cfg.train.__dict__, "compute_dtype": "bfloat16",
            "data_parallel": False}))
-    if conv_impl != "xla":
+    if conv_impl != "xla" or packed:
         cfg = cfg.replace(model=cfg.model.__class__(
-            **{**cfg.model.__dict__, "conv_impl": conv_impl}))
+            **{**cfg.model.__dict__, "conv_impl": conv_impl,
+               "packed_unet": packed}))
     if methods:
         rng = np.random.RandomState(7)
         host = [_widen(b, cfg.method.replay_batch, rng) for b in host]
@@ -230,11 +234,14 @@ def main() -> int:
     methods = "--methods" in sys.argv
     batch = BATCH
     conv_impl = "xla"
+    packed = True
     for a in sys.argv:
         if a.startswith("--batch="):
             batch = int(a.split("=", 1)[1])
         if a.startswith("--conv="):
             conv_impl = a.split("=", 1)[1]
+        if a.startswith("--packed="):
+            packed = a.split("=", 1)[1].lower() in ("true", "1", "on")
     key = _shape_key(img, batch, methods)
 
     cache = {}
@@ -253,14 +260,14 @@ def main() -> int:
     _TRANSIENT = ("FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED",
                   "INTERNAL")
     try:
-        value = bench_jax(img, src, batch, methods, conv_impl)
+        value = bench_jax(img, src, batch, methods, conv_impl, packed)
     except Exception as e:
         if not any(s in str(e) for s in _TRANSIENT):
             raise
         print(f"# bench_jax failed ({type(e).__name__}: {e}); retrying once",
               file=sys.stderr)
         time.sleep(10)
-        value = bench_jax(img, src, batch, methods, conv_impl)
+        value = bench_jax(img, src, batch, methods, conv_impl, packed)
     suffix = ("_methods" if methods else "") + (
         f"_{conv_impl}conv" if conv_impl != "xla" else "")
     print(json.dumps({
