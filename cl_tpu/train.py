@@ -874,6 +874,19 @@ def _train_impl(cfg: Config, logger, init_variables=None) -> dict:
         mesh = sharding.make_mesh()
         sharding.check_divisible(cfg.data.batch_size, mesh)
 
+    if cfg.model.packed_unet and (mesh is not None or smesh is not None):
+        # Packed execution is single-device (DESIGN.md §8): its pallas
+        # custom calls have no SPMD partitioning rule, so GSPMD would
+        # replicate operands (all-gathers) instead of sharding the work.
+        logger.log(event="packed_unet_disabled",
+                   reason="mesh" if mesh is not None else "spatial_mesh")
+        warnings.warn("model.packed_unet disabled under a device mesh "
+                      "(single-device path; falling back to the standard "
+                      "body — same math, f32 association differs)",
+                      stacklevel=2)
+        cfg = cfg.replace(model=cfg.model.__class__(
+            **{**cfg.model.__dict__, "packed_unet": False}))
+
     # Grow-the-head variant (model.padded_head=False): head width follows
     # the seen-class set; steps are rebuilt (recompiled) on every growth —
     # bounded by T recompiles (SURVEY.md §7 "head expansion under jit").
