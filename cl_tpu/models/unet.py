@@ -305,10 +305,12 @@ class DoubleConv(nn.Module):
     norm: str = "batch"
     dtype: Any = jnp.float32
     conv_impl: str = "xla"
+    dp_axis: str | None = None  # BatchNorm axis_name under DP shard_map
 
     @nn.compact
     def __call__(self, x, *, train: bool):
-        if (self.conv_impl in ("v3", "auto") and self.norm == "batch"):
+        if (self.conv_impl in ("v3", "auto") and self.norm == "batch"
+                and self.dp_axis is None):
             geo = packed_level_geometry(x.shape[1], x.shape[2],
                                         x.shape[-1], self.features,
                                         self.conv_impl)
@@ -320,7 +322,10 @@ class DoubleConv(nn.Module):
             if self.norm == "batch":
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                  epsilon=1e-5, dtype=self.dtype,
-                                 param_dtype=jnp.float32, name=f"bn{i}")(x)
+                                 param_dtype=jnp.float32,
+                                 axis_name=(None if self.is_initializing()
+                                            else self.dp_axis),
+                                 name=f"bn{i}")(x)
             elif self.norm == "group":
                 x = nn.GroupNorm(num_groups=min(8, self.features),
                                  dtype=self.dtype, param_dtype=jnp.float32,
@@ -366,6 +371,10 @@ class DeferredBatchNorm(nn.Module):
     features: int
     pack: int
     dtype: Any = jnp.float32
+    dp_axis: str | None = None  # psum batch stats over this mesh axis
+    #                             (the packed body under data-parallel
+    #                             shard_map — global-batch stats, same
+    #                             semantics as nn.BatchNorm(axis_name))
 
     @nn.compact
     def __call__(self, s1_l, s2_l, n, *, train: bool):
@@ -379,6 +388,10 @@ class DeferredBatchNorm(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((c,), jnp.float32))
         if train:
+            if self.dp_axis is not None and not self.is_initializing():
+                s1_l = jax.lax.psum(s1_l, self.dp_axis)
+                s2_l = jax.lax.psum(s2_l, self.dp_axis)
+                n = n * jax.lax.psum(1, self.dp_axis)
             mu = s1_l.reshape(p, c).sum(0) / n
             var = s2_l.reshape(p, c).sum(0) / n - mu * mu
             if not self.is_initializing():
@@ -430,6 +443,7 @@ class PackedLevel(nn.Module):
     p: int
     mode: str = "plain"
     dtype: Any = jnp.float32
+    dp_axis: str | None = None  # psum BN stats over this axis (DP)
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -455,6 +469,7 @@ class PackedLevel(nn.Module):
                 xp0, k0p.astype(self.dtype), ones0, zeros0, self.p, False)
             n0 = y0.shape[0] * y0.shape[1] * y0.shape[2] * self.p
             sc0, sh0 = DeferredBatchNorm(f, self.p, dtype=self.dtype,
+                                         dp_axis=self.dp_axis,
                                          name="bn0")(s1z, s2z, n0,
                                                      train=train)
             xp = y0
@@ -479,6 +494,7 @@ class PackedLevel(nn.Module):
             yp, s1, s2 = add_stats_packed(ys, yu)
             n = yp.shape[0] * yp.shape[1] * yp.shape[2] * self.p
             sc0, sh0 = DeferredBatchNorm(f, self.p, dtype=self.dtype,
+                                         dp_axis=self.dp_axis,
                                          name="bn0")(s1, s2, n,
                                                      train=train)
             k1 = Conv3x3Param(f, f, name="conv1")()
@@ -487,6 +503,7 @@ class PackedLevel(nn.Module):
                 jnp.tile(sh0, self.p), self.p, True)
             n2 = y2.shape[0] * y2.shape[1] * y2.shape[2] * self.p
             sc1, sh1 = DeferredBatchNorm(f, self.p, dtype=self.dtype,
+                                         dp_axis=self.dp_axis,
                                          name="bn1")(s1c, s2c, n2,
                                                      train=train)
             return y2, sc1, sh1
@@ -506,19 +523,20 @@ class PackedLevel(nn.Module):
                                            a0, b0, self.p, prologue0)
             n1 = y1.shape[0] * y1.shape[1] * y1.shape[2] * self.p
             sc1, sh1 = DeferredBatchNorm(f, self.p, dtype=self.dtype,
+                                         dp_axis=self.dp_axis,
                                          name="bn1")(s1, s2, n1,
                                                      train=train)
             return y1, sc1, sh1
         n1 = y1.shape[0] * y1.shape[1] * y1.shape[2] * self.p
         sc0, sh0 = DeferredBatchNorm(f, self.p, dtype=self.dtype,
-                                     name="bn0")(s1, s2, n1, train=train)
+                                     dp_axis=self.dp_axis, name="bn0")(s1, s2, n1, train=train)
         k1 = Conv3x3Param(f, f, name="conv1")()
         y2, s1b, s2b = pc3.conv_bn_fused(
             y1, k1.astype(self.dtype), jnp.tile(sc0, self.p),
             jnp.tile(sh0, self.p), self.p, True)
         n2 = y2.shape[0] * y2.shape[1] * y2.shape[2] * self.p
         sc1, sh1 = DeferredBatchNorm(f, self.p, dtype=self.dtype,
-                                     name="bn1")(s1b, s2b, n2,
+                                     dp_axis=self.dp_axis, name="bn1")(s1b, s2b, n2,
                                                  train=train)
         return y2, sc1, sh1
 
@@ -603,6 +621,8 @@ class UNet(nn.Module):
     conv_impl: str = "xla"  # "pallas" = lane-packed kernel (DESIGN.md §8)
     upconv_impl: str = "xla"  # "xla" | "matmul" = einsum+pixel-shuffle
     packed: bool = False  # run leading levels fully lane-packed
+    dp_axis: str | None = None  # data-parallel shard_map axis: BN stats
+    #                             psum over it (packed AND standard body)
 
     @nn.compact
     def __call__(self, x, *, train: bool = False,
@@ -660,6 +680,7 @@ class UNet(nn.Module):
             mode = "stem" if level == 0 else "plain"
             yp, sc, sh = PackedLevel(
                 feats, c_in, P, mode=mode, dtype=self.dtype,
+                dp_axis=self.dp_axis,
                 name=f"enc{level}")(x if level == 0 else xp, train=train)
             zp = bn_relu_apply(yp, sc, sh, P)
             skips_p.append(zp)
@@ -672,12 +693,12 @@ class UNet(nn.Module):
         skips_d = []
         for level in range(prefix, self.depth):
             xd = DoubleConv(c * (2 ** level), norm=self.norm,
-                            dtype=self.dtype, conv_impl="xla",
+                            dtype=self.dtype, conv_impl="xla", dp_axis=self.dp_axis,
                             name=f"enc{level}")(xd, train=train)
             skips_d.append(xd)
             xd = nn.max_pool(xd, (2, 2), strides=(2, 2))
         xd = DoubleConv(c * (2 ** self.depth), norm=self.norm,
-                        dtype=self.dtype, conv_impl="xla",
+                        dtype=self.dtype, conv_impl="xla", dp_axis=self.dp_axis,
                         name="bottleneck")(xd, train=train)
         for level in reversed(range(prefix, self.depth)):
             feats = c * (2 ** level)
@@ -688,7 +709,7 @@ class UNet(nn.Module):
                                   name=f"up{level}")(xd)
             xd = jnp.concatenate([skips_d[level - prefix], xd], axis=-1)
             xd = DoubleConv(feats, norm=self.norm, dtype=self.dtype,
-                            conv_impl="xla",
+                            conv_impl="xla", dp_axis=self.dp_axis,
                             name=f"dec{level}")(xd, train=train)
 
         # packed decoder
@@ -708,6 +729,7 @@ class UNet(nn.Module):
                             dtype=self.dtype, name=f"up{level}")(below_p)
             xp, dec_sc, dec_sh = PackedLevel(
                 feats, feats, P, mode="split", dtype=self.dtype,
+                dp_axis=self.dp_axis,
                 name=f"dec{level}")((skips_p[level], up_p), train=train)
         z0 = bn_relu_apply(xp, dec_sc, dec_sh, P)
         if keep_packed:
@@ -719,13 +741,13 @@ class UNet(nn.Module):
         skips = []
         for level in range(self.depth):
             x = DoubleConv(c * (2 ** level), norm=self.norm, dtype=self.dtype,
-                           conv_impl=self.conv_impl,
+                           conv_impl=self.conv_impl, dp_axis=self.dp_axis,
                            name=f"enc{level}")(x, train=train)
             skips.append(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
         x = DoubleConv(c * (2 ** self.depth), norm=self.norm, dtype=self.dtype,
-                       conv_impl=self.conv_impl,
+                       conv_impl=self.conv_impl, dp_axis=self.dp_axis,
                        name="bottleneck")(x, train=train)
 
         for level in reversed(range(self.depth)):
@@ -743,7 +765,7 @@ class UNet(nn.Module):
                                      name=f"up{level}")(x)
             x = jnp.concatenate([skips[level], x], axis=-1)
             x = DoubleConv(feats, norm=self.norm, dtype=self.dtype,
-                           conv_impl=self.conv_impl,
+                           conv_impl=self.conv_impl, dp_axis=self.dp_axis,
                            name=f"dec{level}")(x, train=train)
         return x
 

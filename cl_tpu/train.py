@@ -156,6 +156,47 @@ def spatial_apply_fn(cfg: Config, spatial_mesh) -> Callable:
     return apply
 
 
+def packed_dp_apply_fn(cfg: Config, mesh, model: UNet) -> Callable:
+    """``model.apply``-compatible wrapper running the PACKED UNet body
+    per-shard inside ``jax.shard_map`` over the data axis: pallas custom
+    calls have no SPMD partitioning rule, so under plain sharded jit the
+    partitioner would all-gather their operands; per-shard execution with
+    psum'd BatchNorm statistics (UNet.dp_axis → DeferredBatchNorm /
+    nn.BatchNorm(axis_name)) keeps the math global-batch-identical to
+    the XLA DP path (tests/dp/test_packed_dp.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    ax = sharding.DATA_AXIS
+    m = model.clone(dp_axis=ax)
+
+    def apply(variables, x, train=False, mutable=None, **kw):
+        mut = list(mutable) if mutable else []
+
+        def local(variables, x):
+            if mut:
+                return m.apply(variables, x, train=train, mutable=mut,
+                               **kw)
+            return m.apply(variables, x, train=train, **kw)
+
+        fn = jax.shard_map(
+            local, mesh=mesh, in_specs=(P(), P(ax)),
+            out_specs=(P(ax), P()) if mut else P(ax),
+            # batch-stat updates are computed from psum'd sums, hence
+            # replicated; pallas calls carry no varying-axes annotation.
+            check_vma=False)
+        return fn(variables, x)
+
+    return apply
+
+
+def _pick_fwd_apply(cfg: Config, model: UNet, mesh, spatial_mesh):
+    if spatial_mesh is not None:
+        return spatial_apply_fn(cfg, spatial_mesh)
+    if mesh is not None and cfg.model.packed_unet:
+        return packed_dp_apply_fn(cfg, mesh, model)
+    return model.apply
+
+
 def make_train_step(cfg: Config, model: UNet, tx,
                     mesh=None, as_body: bool = False,
                     spatial_mesh=None) -> Callable:
@@ -246,8 +287,7 @@ def make_train_step(cfg: Config, model: UNet, tx,
     compute_dtype = _dtype(cfg)
     d = cfg.data
 
-    fwd_apply = model.apply if spatial_mesh is None \
-        else spatial_apply_fn(cfg, spatial_mesh)
+    fwd_apply = _pick_fwd_apply(cfg, model, mesh, spatial_mesh)
 
     # Packed-view head+CE: when the packed UNet engages and the class
     # count fits a lane block (C <= base_channels = lanes/p), the fused
@@ -507,8 +547,7 @@ def make_eval_step(cfg: Config, model: UNet, mesh=None,
     compute_dtype = _dtype(cfg)
     use_pallas_aug = (cfg.train.use_pallas and mesh is None
                       and spatial_mesh is None and cfg.train.pallas_augment)
-    fwd_apply = model.apply if spatial_mesh is None \
-        else spatial_apply_fn(cfg, spatial_mesh)
+    fwd_apply = _pick_fwd_apply(cfg, model, mesh, spatial_mesh)
 
     def step(conf, params, model_state, batch, valid_classes):
         x, y = _augment(batch, d, compute_dtype, use_pallas_aug)
@@ -621,8 +660,7 @@ def make_fisher_step(cfg: Config, model: UNet, mesh=None,
     d = cfg.data
 
     use_pallas = cfg.train.use_pallas and spatial_mesh is None
-    fwd_apply = model.apply if spatial_mesh is None \
-        else spatial_apply_fn(cfg, spatial_mesh)
+    fwd_apply = _pick_fwd_apply(cfg, model, mesh, spatial_mesh)
 
     def step(fisher_acc, params, model_state, batch, valid_classes, rng):
         x, y = _augment(batch, d, _dtype(cfg),
@@ -874,16 +912,15 @@ def _train_impl(cfg: Config, logger, init_variables=None) -> dict:
         mesh = sharding.make_mesh()
         sharding.check_divisible(cfg.data.batch_size, mesh)
 
-    if cfg.model.packed_unet and (mesh is not None or smesh is not None):
-        # Packed execution is single-device (DESIGN.md §8): its pallas
-        # custom calls have no SPMD partitioning rule, so GSPMD would
-        # replicate operands (all-gathers) instead of sharding the work.
-        logger.log(event="packed_unet_disabled",
-                   reason="mesh" if mesh is not None else "spatial_mesh")
-        warnings.warn("model.packed_unet disabled under a device mesh "
-                      "(single-device path; falling back to the standard "
-                      "body — same math, f32 association differs)",
-                      stacklevel=2)
+    if cfg.model.packed_unet and smesh is not None:
+        # Spatial sharding splits H across devices — the packed kernels'
+        # halo DMAs are single-device (and spatial needs group norm,
+        # which the packed body doesn't support anyway).  Under a DP
+        # mesh the packed body runs per-shard inside shard_map with
+        # psum'd BN stats (packed_dp_apply_fn) — no fallback needed.
+        logger.log(event="packed_unet_disabled", reason="spatial_mesh")
+        warnings.warn("model.packed_unet disabled under spatial_parallel "
+                      "(falling back to the standard body)", stacklevel=2)
         cfg = cfg.replace(model=cfg.model.__class__(
             **{**cfg.model.__dict__, "packed_unet": False}))
 
