@@ -64,7 +64,8 @@ def _vmem_estimate(th, wg, lanes, k, p, c_out, itemsize) -> int:
 def _pick_th(h: int, wg: int, lanes: int, itemsize: int,
              k: int = 0, p: int = 1, c_out: int = 0) -> int:
     """Rows per grid tile: a divisor of h (multiple of 8, or h itself for
-    small images), targeting ~2048 dot rows, shrunk until the scoped-VMEM
+    small images), targeting ~8192 dot rows (fewer grid steps — measured
+    −0.6 ms/step at 512²/b8 vs the original 2048), shrunk until the scoped-VMEM
     estimate fits.  Returns 0 if nothing fits."""
     if h <= 16:
         th = h
@@ -72,7 +73,7 @@ def _pick_th(h: int, wg: int, lanes: int, itemsize: int,
                 <= _VMEM_BUDGET:
             return th
         return 0
-    th = min(h, max(8, (2048 // max(1, wg)) // 8 * 8))
+    th = min(h, max(8, (8192 // max(1, wg)) // 8 * 8))
     while th >= 8:
         if h % th == 0 and _vmem_estimate(
                 th, wg, lanes, k, p, c_out, itemsize) <= _VMEM_BUDGET:
@@ -685,7 +686,7 @@ def _pick_th_dx(h, wg, lanes, k, out_lanes, itemsize, epilogue) -> int:
                              epilogue) <= _VMEM_BUDGET:
             return th
         return 0
-    th = min(h, max(8, (2048 // max(1, wg)) // 8 * 8))
+    th = min(h, max(8, (8192 // max(1, wg)) // 8 * 8))
     while th >= 8:
         if h % th == 0 and _vmem_estimate_dx(
                 th, wg, lanes, k, out_lanes, itemsize,
