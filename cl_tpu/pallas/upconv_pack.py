@@ -108,29 +108,28 @@ def _dx_kernel(dy_ref, w_ref, dx_ref, *, th, g_in, lanes_in, g_out,
     dx_ref[0] = acc.reshape(th, g_in, lanes_in).astype(dx_ref.dtype)
 
 
-def _dw_kernel(x_ref, dy_ref, dw_ref, db_ref, acc, bacc, *, th, g_in,
+def _dw_kernel(x_ref, dy_ref, dw_ref, db_ref, *, th, g_in,
                lanes_in, g_out, lanes_out):
+    """Accumulates DIRECTLY into the constant-index out blocks (Mosaic
+    keeps them VMEM-resident across the sequential grid) — a separate
+    f32 scratch copy doubled scoped VMEM and overflowed the 16 MB stack
+    at the deepest packed level's [2, L_in, L2] accumulator (b16)."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        acc[:] = jnp.zeros_like(acc)
-        bacc[:] = jnp.zeros_like(bacc)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
 
     v = x_ref[0].reshape(th * g_in, lanes_in)
     dy = dy_ref[0].reshape(th, 2, g_out, lanes_out)
     l2 = g_out * lanes_out // g_in
     for a in range(2):
         da = dy[:, a].reshape(th * g_in, l2)
-        acc[a] += jax.lax.dot_general(
+        dw_ref[a] += jax.lax.dot_general(
             v, da, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        bacc[a:a + 1] += jnp.sum(da, axis=0, keepdims=True)
-
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _():
-        dw_ref[:] = acc[:]
-        db_ref[:] = bacc[:]
+        db_ref[a:a + 1] += jnp.sum(da, axis=0, keepdims=True)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -211,8 +210,6 @@ def _vjp_bwd(dims, res, dy):
                    pl.BlockSpec((2, l2), lambda i: (0, 0))),
         out_shape=(jax.ShapeDtypeStruct((2, lanes_in, l2), jnp.float32),
                    jax.ShapeDtypeStruct((2, l2), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((2, lanes_in, l2), jnp.float32),
-                        pltpu.VMEM((2, l2), jnp.float32)],
         interpret=common.interpret_mode(),
     )(xp.reshape(b * nh, th, g_in, lanes_in), dy4)
     dbias_l = (dbl[0] + dbl[1]).astype(jnp.float32)
