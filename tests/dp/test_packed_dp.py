@@ -64,6 +64,22 @@ def test_packed_sharded_step_matches_single_device(eight_devices):
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_packed_dp_train_e2e_with_device_cache(eight_devices, tmp_path,
+                                               monkeypatch):
+    """Full train() on the virtual mesh with packed_unet AND the
+    HBM-cache epoch-scan path (the flagship config-5 shape: shard_map'd
+    packed body inside lax.scan inside the sharded jit)."""
+    import dataclasses as dc
+
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    cfg = _cfg()
+    cfg = cfg.replace(
+        data=dc.replace(cfg.data, device_cache=True, epoch_scan=True),
+        train=dc.replace(cfg.train, epochs_per_task=1, num_tasks=1))
+    r = train_lib.train(cfg)
+    assert np.isfinite(r["mean_final_miou"])
+
+
 def test_packed_dp_eval_matches_single_device(eight_devices):
     cfg = _cfg()
     model = train_lib.build_model(cfg)
