@@ -642,11 +642,50 @@ def _cbf_bwd(p, prologue, res, cots):
     dy, ds1, ds2 = cots
     c_in = w.shape[2]
     w_dx = jnp.flip(w, (0, 1)).swapaxes(2, 3)
-    dxp, da_l, db_l = _dx_bn_impl(dy, y, xp, w_dx, ds1, ds2, a_l, b_l,
-                                  p, prologue)
-    dw = _dw_bn2_impl(xp, dy, y, ds1, ds2, c_in, a_l, b_l, p, prologue)
+    # The fused dx kernel carries two halo scratches + the full packed
+    # weight block; at deep wide levels (f32, k·out_lanes large) no tile
+    # fits the scoped-VMEM budget — fall back to the two-pass backward
+    # (XLA dy_eff + plain dx/dW kernels) there.
+    b_, h, wg, lanes = dy.shape
+    c_out_fwd = lanes // p
+    kk = (p + 2) * c_out_fwd
+    out_lanes = p * c_in
+    itemsize = dy.dtype.itemsize
+    th = _pick_th_dx(h, wg, lanes, kk, out_lanes, itemsize, prologue)
+    # the fused dW variant streams dy AND y blocks on top of the plain
+    # dW kernel's footprint — check that fits too (double-buffered)
+    wid = wg * (p * c_in) // c_in
+    _, _, thg, _, lanes_x, kx = _geometry(h, wid, c_in, c_out_fwd,
+                                          itemsize, p)
+    dw2_extra = 4 * thg * wg * lanes * itemsize
+    dw2_fits = (_vmem_estimate(thg, wg, lanes_x, kx, p, c_out_fwd,
+                               itemsize) + dw2_extra) <= _VMEM_BUDGET
+    if th > 0 and dw2_fits:
+        dxp, da_l, db_l = _dx_bn_impl(dy, y, xp, w_dx, ds1, ds2, a_l,
+                                      b_l, p, prologue)
+        dw = _dw_bn2_impl(xp, dy, y, ds1, ds2, c_in, a_l, b_l, p,
+                          prologue)
+        dw = dw.astype(w.dtype)
+        if not prologue:
+            da_l = jnp.zeros_like(a_l)
+            db_l = jnp.zeros_like(b_l)
+        return dxp, dw, da_l, db_l
+    ds1b, ds2b = jax.lax.optimization_barrier((ds1, ds2))
+    dy_eff = (dy.astype(jnp.float32) + ds1b
+              + 2.0 * y.astype(jnp.float32) * ds2b).astype(xp.dtype)
+    dt = _fwd_packed(dy_eff, w_dx, p)
+    dw = _dw_bn_impl(xp, dy_eff, c_in, a_l, b_l, p, prologue)
     dw = dw.astype(w.dtype)
-    if not prologue:
+    if prologue:
+        a_b, b_b = jax.lax.optimization_barrier((a_l, b_l))
+        xf = xp.astype(jnp.float32)
+        u = xf * a_b + b_b
+        du = jnp.where(u > 0, dt.astype(jnp.float32), 0.0)
+        dxp = (du * a_b).astype(xp.dtype)
+        da_l = jnp.sum(du * xf, axis=(0, 1, 2))
+        db_l = jnp.sum(du, axis=(0, 1, 2))
+    else:
+        dxp = dt.astype(xp.dtype)
         da_l = jnp.zeros_like(a_l)
         db_l = jnp.zeros_like(b_l)
     return dxp, dw, da_l, db_l
