@@ -78,7 +78,9 @@ def build_model(cfg: Config, head_width: int | None = None) -> UNet:
                 dtype=_dtype(cfg), head_width=head_width,
                 conv_impl=cfg.model.conv_impl,
                 upconv_impl=cfg.model.upconv_impl,
-                packed=cfg.model.packed_unet)
+                packed=(cfg.model.packed_unet
+                        and cfg.data.image_size
+                        >= cfg.model.packed_min_size))
 
 
 def task_head_width(cfg: Config, task_id: int) -> int:

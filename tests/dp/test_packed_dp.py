@@ -21,7 +21,7 @@ def _cfg():
         data=dataclasses.replace(cfg.data, image_size=32, source_size=40,
                                  batch_size=8, train_images_per_task=8),
         model=dataclasses.replace(cfg.model, packed_unet=True,
-                                  base_channels=32),
+                                  packed_min_size=0, base_channels=32),
         train=dataclasses.replace(cfg.train, data_parallel=True,
                                   optimizer="sgd", lr=0.1))
 
