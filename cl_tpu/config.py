@@ -78,10 +78,11 @@ class ModelConfig:
     # (models/unet.py::UNet._packed_body; DESIGN.md §8). Single-device
     # only (Pallas custom calls don't partition under a mesh).
     packed_unet: bool = False
-    # Minimum image size for packed execution: at small spatial shapes
-    # XLA's emitter wins (measured: 128² f32 ladder rung 188 vs 250
-    # img/s) — same profitability shape as per-conv routing. Below this
-    # the packed body falls back to the standard one; set 0 to force.
+    # Measured-win envelope for packed execution: engages only at
+    # image_size >= packed_min_size AND base_channels <= 32 (ladder
+    # measurements: 128² f32 197 vs 250 img/s and 256²/64ch f32 179 vs
+    # 205 — XLA wins; 512²/32ch packed wins +31–62%). 0 forces packed
+    # everywhere (tests / future shapes).
     packed_min_size: int = 256
     # k=2/s=2 transposed-conv implementation: "xla" = nn.ConvTranspose;
     # "matmul" = one einsum + pixel shuffle with the SAME param tree (the

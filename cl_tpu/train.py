@@ -79,8 +79,10 @@ def build_model(cfg: Config, head_width: int | None = None) -> UNet:
                 conv_impl=cfg.model.conv_impl,
                 upconv_impl=cfg.model.upconv_impl,
                 packed=(cfg.model.packed_unet
-                        and cfg.data.image_size
-                        >= cfg.model.packed_min_size))
+                        and (cfg.model.packed_min_size == 0
+                             or (cfg.data.image_size
+                                 >= cfg.model.packed_min_size
+                                 and cfg.model.base_channels <= 32))))
 
 
 def task_head_width(cfg: Config, task_id: int) -> int:
