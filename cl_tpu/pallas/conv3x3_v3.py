@@ -653,14 +653,16 @@ def _cbf_bwd(p, prologue, res, cots):
     itemsize = dy.dtype.itemsize
     th = _pick_th_dx(h, wg, lanes, kk, out_lanes, itemsize, prologue)
     # the fused dW variant streams dy AND y blocks on top of the plain
-    # dW kernel's footprint — check that fits too (double-buffered)
-    wid = wg * (p * c_in) // c_in
-    _, _, thg, _, lanes_x, kx = _geometry(h, wid, c_in, c_out_fwd,
-                                          itemsize, p)
-    dw2_extra = 4 * thg * wg * lanes * itemsize
-    dw2_fits = (_vmem_estimate(thg, wg, lanes_x, kx, p, c_out_fwd,
-                               itemsize) + dw2_extra) <= _VMEM_BUDGET
-    if th > 0 and dw2_fits:
+    # dW kernel's footprint — it picks its OWN (smaller) tile height for
+    # that, so it fits whenever any multiple-of-8 divisor of h does
+    # (reusing the plain-dW tile here used to reject 4 of 6 levels at
+    # 512² bf16 once the tile target grew to 8192 rows, silently taking
+    # the two-pass backward and its relayout copies — a 150→113 img/s
+    # step regression).
+    lanes_x = p * c_in
+    kx = (p + 2) * c_in
+    th_dw2 = _pick_th_dw2(h, wg, lanes_x, kx, p, c_out_fwd, itemsize)
+    if th > 0 and th_dw2 > 0:
         dxp, da_l, db_l = _dx_bn_impl(dy, y, xp, w_dx, ds1, ds2, a_l,
                                       b_l, p, prologue)
         dw = _dw_bn2_impl(xp, dy, y, ds1, ds2, c_in, a_l, b_l, p,
@@ -716,6 +718,28 @@ def _vmem_estimate_dx(th, wg, lanes, k, out_lanes, itemsize,
         est += (2 * th * wg * out_lanes * itemsize   # xp block
                 + 3 * rows * out_lanes * 4)          # xb/u/du f32 temps
     return est
+
+
+def _pick_th_dw2(h, wg, lanes, k, p, c_out, itemsize) -> int:
+    """Tile height for the fused dW kernel (`_dw_bn2_kernel`): the plain
+    dW footprint plus the double-buffered dy and y input blocks it
+    streams (2 buffers × 2 operands × th·wg·p·c_out) and the f32 dy_eff
+    temp it forms per tile."""
+
+    def fits(th):
+        extra = (4 * th * wg * p * c_out * itemsize
+                 + th * wg * p * c_out * 4)
+        return (_vmem_estimate(th, wg, lanes, k, p, c_out, itemsize)
+                + extra) <= _VMEM_BUDGET
+
+    if h <= 16:
+        return h if fits(h) else 0
+    th = min(h, max(8, (8192 // max(1, wg)) // 8 * 8))
+    while th >= 8:
+        if h % th == 0 and fits(th):
+            return th
+        th -= 8
+    return 0
 
 
 def _pick_th_dx(h, wg, lanes, k, out_lanes, itemsize, epilogue) -> int:
@@ -924,8 +948,13 @@ def _dw_bn2_impl(xp, dy, y, ds1, ds2, c_in, a_l, b_l, p_force, prologue):
     b, h, wg_in, lanes_in = xp.shape
     wid = wg_in * lanes_in // c_in
     c_out = dy.shape[-1] // (lanes_in // c_in)
-    p, wg, th, nh, lanes, k = _geometry(h, wid, c_in, c_out,
-                                        xp.dtype.itemsize, p_force)
+    p = p_force or pick_pack(c_in, c_out)
+    wg = wid // p
+    lanes = p * c_in
+    k = (p + 2) * c_in
+    th = _pick_th_dw2(h, wg, lanes, k, p, c_out, xp.dtype.itemsize)
+    assert th > 0, "caller must gate on _pick_th_dw2"
+    nh = h // th
     assert (wg_in, lanes_in) == (wg, lanes)
     dyb = dy.reshape(b * nh, th, wg, p * c_out)
     yb = y.reshape(b * nh, th, wg, p * c_out)

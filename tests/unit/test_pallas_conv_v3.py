@@ -151,3 +151,24 @@ def test_unet_v3_impl_matches_xla():
     gv = jax.grad(loss(mv))(vs["params"])
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         a, b, atol=5e-3, rtol=1e-3), gx, gv)
+
+
+def test_flagship_levels_take_fused_backward():
+    """Every packed level of the flagship shape (512², 32 ch, bf16) must
+    take the FULLY-fused conv_bn_fused backward — the two-pass fallback
+    costs ~2 ms of relayout copies per level (a silent 150→113 img/s
+    step regression when the dW gate reused the plain-dW tile height
+    instead of picking its own)."""
+    p = 4  # pick_pack(32, 32)
+    for level in range(3):
+        h = 512 >> level
+        feats = 32 * (2 ** level)
+        for c_in, c_out in (((3 if level == 0 else feats // 2), feats),
+                            (feats, feats)):
+            wg = h // p
+            th_dx = v3._pick_th_dx(h, wg, p * c_out, (p + 2) * c_out,
+                                   p * c_in, 2, True)
+            th_dw2 = v3._pick_th_dw2(h, wg, p * c_in, (p + 2) * c_in,
+                                     p, c_out, 2)
+            assert th_dx > 0 and th_dw2 > 0, \
+                f"level{level} {c_in}->{c_out} fell off the fused backward"
