@@ -38,6 +38,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -212,6 +214,132 @@ def _wait_variant(xp_ref, scratch, sems, slot, idx, *, nh, th):
             scratch.at[slot, pl.ds(1, th + 1)], sems.at[slot]).wait()
 
 
+def _use_comb(c_in: int) -> bool:
+    """Combine the A/C halo pieces ACROSS the three kernel rows into one
+    [rows, 3·c_in] operand each: the per-(u, piece) halo dots contract
+    over K = c_in (≤64 on the packed levels) and waste ≥half the MXU's
+    128-deep systolic array; combined they run K = 3·c_in in 1–2 passes
+    instead of 3 — 9 MXU passes per tile become 5 at c_in = 32.  At
+    c_in ≥ 128 the per-u dots are already full-depth, so combining only
+    adds concat traffic."""
+    return c_in < 128
+
+
+def _comb_perm(c_in: int, lanes: int):
+    """Row permutation taking `pack_weights` layout [(u, piece-major)]
+    to the combined layout [A0|A1|A2 | B0|B1|B2 | C0|C1|C2]."""
+    k = 2 * c_in + lanes
+    idx = []
+    for u in range(3):
+        idx += list(range(u * k, u * k + c_in))
+    for u in range(3):
+        idx += list(range(u * k + c_in, u * k + c_in + lanes))
+    for u in range(3):
+        idx += list(range(u * k + c_in + lanes, (u + 1) * k))
+    return np.asarray(idx, np.int32)
+
+
+def _pack_weights_v3(w: jax.Array, p: int) -> jax.Array:
+    """`pack_weights` + the combined-layout row permutation (identity
+    layout when the combine path is off for this c_in)."""
+    c_in = w.shape[2]
+    wp = pack_weights(w, p)
+    if not _use_comb(c_in):
+        return wp
+    return jnp.take(wp, _comb_perm(c_in, p * c_in), axis=0)
+
+
+def _unperm_dw(dwp: jax.Array, c_in: int, lanes: int) -> jax.Array:
+    """Combined-layout dW accumulator → `pack_weights` row order (the
+    layout `_fold_dw` expects)."""
+    if not _use_comb(c_in):
+        return dwp
+    perm = _comb_perm(c_in, lanes)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size, dtype=np.int32)
+    return jnp.take(dwp, inv, axis=0)
+
+
+def _cat_pieces(vflat, *, th, wg, lanes, c_in, dtype):
+    """Combined window pieces: A_cat/C_cat [rows, 3·c_in] (kernel rows
+    u = 0,1,2 lane-concatenated, image borders zero-masked once — the
+    mask depends only on the output row, identical per u) and the three
+    center views B_u [rows, lanes]."""
+    rows = th * wg
+    vas, vbs, vcs = [], [], []
+    for u in range(3):
+        base = (u + 1) * wg
+        vas.append(vflat[base - 1:base - 1 + rows, lanes - c_in:])
+        vbs.append(vflat[base:base + rows])
+        vcs.append(vflat[base + 1:base + 1 + rows, :c_in])
+    rid = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    zero = jnp.zeros((), dtype)
+    pa = jnp.where((rid & (wg - 1)) != 0,
+                   jnp.concatenate(vas, axis=-1), zero)
+    pc = jnp.where((rid & (wg - 1)) != (wg - 1),
+                   jnp.concatenate(vcs, axis=-1), zero)
+    return pa, vbs, pc
+
+
+def _conv_dots(vflat, w_ref, *, th, wg, lanes, k, c_in, dtype):
+    """f32 accumulator [rows, out_lanes] of the window contraction
+    against the packed weights (combined layout when `_use_comb`)."""
+
+    def dot(patch, lo, hi):
+        return jax.lax.dot_general(
+            patch, w_ref[lo:hi, :], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if not _use_comb(c_in):
+        acc = None
+        for u in range(3):
+            pa, pb, pc = _pieces(vflat, u, th=th, wg=wg, lanes=lanes,
+                                 c_in=c_in, dtype=dtype)
+            r0 = u * k
+            for patch, lo, hi in ((pa, r0, r0 + c_in),
+                                  (pb, r0 + c_in, r0 + c_in + lanes),
+                                  (pc, r0 + c_in + lanes, r0 + k)):
+                d = dot(patch, lo, hi)
+                acc = d if acc is None else acc + d
+        return acc
+    pa, vbs, pc = _cat_pieces(vflat, th=th, wg=wg, lanes=lanes,
+                              c_in=c_in, dtype=dtype)
+    c3 = 3 * c_in
+    acc = dot(pa, 0, c3)
+    for u in range(3):
+        acc = acc + dot(vbs[u], c3 + u * lanes, c3 + (u + 1) * lanes)
+    return acc + dot(pc, 3 * k - c3, 3 * k)
+
+
+def _dw_accum(vflat, dy2, acc, *, th, wg, lanes, k, c_in, dtype):
+    """acc[3k, out_lanes] += pieceᵀ @ dy2 for every window piece (acc in
+    the combined layout when `_use_comb`; `_unperm_dw` restores the
+    `_fold_dw` order outside the kernel)."""
+
+    def dotT(patch):
+        return jax.lax.dot_general(
+            patch, dy2, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    if not _use_comb(c_in):
+        for u in range(3):
+            pa, pb, pc = _pieces(vflat, u, th=th, wg=wg, lanes=lanes,
+                                 c_in=c_in, dtype=dtype)
+            r0 = u * k
+            for patch, lo, hi in ((pa, r0, r0 + c_in),
+                                  (pb, r0 + c_in, r0 + c_in + lanes),
+                                  (pc, r0 + c_in + lanes, r0 + k)):
+                acc[lo:hi] += dotT(patch)
+        return
+    pa, vbs, pc = _cat_pieces(vflat, th=th, wg=wg, lanes=lanes,
+                              c_in=c_in, dtype=dtype)
+    c3 = 3 * c_in
+    acc[0:c3] += dotT(pa)
+    for u in range(3):
+        acc[c3 + u * lanes:c3 + (u + 1) * lanes] += dotT(vbs[u])
+    acc[3 * k - c3:3 * k] += dotT(pc)
+
+
 def _pieces(vflat, u, *, th, wg, lanes, c_in, dtype):
     """The three block-aligned window pieces for kernel row ``u``:
     A (left halo, c_in lanes), B (center, `lanes`), C (right halo).
@@ -237,18 +365,8 @@ def _fwd_kernel(xp_ref, w_ref, y_ref, scratch, sems, *, nh, th, wg,
                 lanes, k, c_in):
     slot = _wait_dma(xp_ref, scratch, sems, nh=nh, th=th)
     vflat = scratch[slot].reshape((th + 4) * wg, lanes)
-    acc = None
-    for u in range(3):
-        pa, pb, pc = _pieces(vflat, u, th=th, wg=wg, lanes=lanes,
-                             c_in=c_in, dtype=xp_ref.dtype)
-        r0 = u * k
-        for patch, lo, hi in ((pa, r0, r0 + c_in),
-                              (pb, r0 + c_in, r0 + c_in + lanes),
-                              (pc, r0 + c_in + lanes, r0 + k)):
-            d = jax.lax.dot_general(
-                patch, w_ref[lo:hi, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc = d if acc is None else acc + d
+    acc = _conv_dots(vflat, w_ref, th=th, wg=wg, lanes=lanes, k=k,
+                     c_in=c_in, dtype=xp_ref.dtype)
     y_ref[0] = acc.reshape(th, wg, y_ref.shape[-1]).astype(y_ref.dtype)
 
 
@@ -263,16 +381,8 @@ def _dw_kernel(xp_ref, dy_ref, dw_ref, scratch, sems, acc, *, nh, th, wg,
 
     vflat = scratch[slot].reshape((th + 4) * wg, lanes)
     dy2 = dy_ref[0].reshape(th * wg, dy_ref.shape[-1])
-    for u in range(3):
-        pa, pb, pc = _pieces(vflat, u, th=th, wg=wg, lanes=lanes,
-                             c_in=c_in, dtype=xp_ref.dtype)
-        r0 = u * k
-        for patch, lo, hi in ((pa, r0, r0 + c_in),
-                              (pb, r0 + c_in, r0 + c_in + lanes),
-                              (pc, r0 + c_in + lanes, r0 + k)):
-            acc[lo:hi] += jax.lax.dot_general(
-                patch, dy2, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+    _dw_accum(vflat, dy2, acc, th=th, wg=wg, lanes=lanes, k=k,
+              c_in=c_in, dtype=xp_ref.dtype)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -291,7 +401,7 @@ def _fwd_packed(xp: jax.Array, w: jax.Array,
                                         xp.dtype.itemsize, p_force)
     assert (wg_in, lanes_in) == (wg, lanes), \
         f"packed view mismatch: got {(wg_in, lanes_in)} want {(wg, lanes)}"
-    wp = pack_weights(w, p)
+    wp = _pack_weights_v3(w, p)
     y = pl.pallas_call(
         functools.partial(_fwd_kernel, nh=nh, th=th, wg=wg, lanes=lanes,
                           k=k, c_in=c_in),
@@ -350,7 +460,7 @@ def _dw_packed(xp: jax.Array, dyp4: jax.Array, c_in: int,
         ],
         interpret=common.interpret_mode(),
     )(xp, dyp)
-    return _fold_dw(dwp, p, c_in, c_out)
+    return _fold_dw(_unperm_dw(dwp, c_in, lanes), p, c_in, c_out)
 
 
 def _conv_dw_impl(x: jax.Array, dy: jax.Array) -> jax.Array:
@@ -474,18 +584,8 @@ def _fwd_bn_kernel(xp_ref, w_ref, a_ref, b_ref, y_ref, s_ref, scratch,
         sacc[:] = jnp.zeros_like(sacc)
 
     vflat = scratch[slot].reshape((th + 4) * wg, lanes)
-    acc = None
-    for u in range(3):
-        pa, pb, pc = _pieces(vflat, u, th=th, wg=wg, lanes=lanes,
-                             c_in=c_in, dtype=xp_ref.dtype)
-        r0 = u * k
-        for patch, lo, hi in ((pa, r0, r0 + c_in),
-                              (pb, r0 + c_in, r0 + c_in + lanes),
-                              (pc, r0 + c_in + lanes, r0 + k)):
-            d = jax.lax.dot_general(
-                patch, w_ref[lo:hi, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc = d if acc is None else acc + d
+    acc = _conv_dots(vflat, w_ref, th=th, wg=wg, lanes=lanes, k=k,
+                     c_in=c_in, dtype=xp_ref.dtype)
     yd = acc.astype(y_ref.dtype)
     # stats of the STORED dtype (bf16 under config 5) so the folded
     # mean/var match a separate pass over the materialized y exactly.
@@ -533,16 +633,8 @@ def _dw_bn_kernel(xp_ref, dy_ref, a_ref, b_ref, dw_ref, scratch, sems,
 
     vflat = scratch[slot].reshape((th + 4) * wg, lanes)
     dy2 = dy_ref[0].reshape(th * wg, dy_ref.shape[-1])
-    for u in range(3):
-        pa, pb, pc = _pieces(vflat, u, th=th, wg=wg, lanes=lanes,
-                             c_in=c_in, dtype=xp_ref.dtype)
-        r0 = u * k
-        for patch, lo, hi in ((pa, r0, r0 + c_in),
-                              (pb, r0 + c_in, r0 + c_in + lanes),
-                              (pc, r0 + c_in + lanes, r0 + k)):
-            acc[lo:hi] += jax.lax.dot_general(
-                patch, dy2, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+    _dw_accum(vflat, dy2, acc, th=th, wg=wg, lanes=lanes, k=k,
+              c_in=c_in, dtype=xp_ref.dtype)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -557,7 +649,7 @@ def _fwd_bn_impl(xp, w, a_l, b_l, p_force, prologue):
     p, wg, th, nh, lanes, k = _geometry(h, wid, c_in, c_out,
                                         xp.dtype.itemsize, p_force)
     assert (wg_in, lanes_in) == (wg, lanes)
-    wp = pack_weights(w, p)
+    wp = _pack_weights_v3(w, p)
     y, s = pl.pallas_call(
         functools.partial(_fwd_bn_kernel, nh=nh, th=th, wg=wg,
                           lanes=lanes, k=k, c_in=c_in, prologue=prologue),
@@ -611,7 +703,7 @@ def _dw_bn_impl(xp, dyp4, c_in, a_l, b_l, p_force, prologue):
         ],
         interpret=common.interpret_mode(),
     )(xp, dyp, a_l.reshape(1, -1), b_l.reshape(1, -1))
-    return _fold_dw(dwp, p, c_in, c_out)
+    return _fold_dw(_unperm_dw(dwp, c_in, lanes), p, c_in, c_out)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -782,18 +874,8 @@ def _dx_bn_kernel(dy_hbm, y_hbm, x_ref, w_ref, s1_ref, s2_ref, a_ref,
             acc2[:] = jnp.zeros_like(acc2)
 
     vflat = sdy[slot].reshape((th + 4) * wg, lanes)
-    acc = None
-    for u in range(3):
-        pa, pb, pc = _pieces(vflat, u, th=th, wg=wg, lanes=lanes,
-                             c_in=c_in, dtype=dy_hbm.dtype)
-        r0 = u * k
-        for patch, lo, hi in ((pa, r0, r0 + c_in),
-                              (pb, r0 + c_in, r0 + c_in + lanes),
-                              (pc, r0 + c_in + lanes, r0 + k)):
-            d = jax.lax.dot_general(
-                patch, w_ref[lo:hi, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc = d if acc is None else acc + d
+    acc = _conv_dots(vflat, w_ref, th=th, wg=wg, lanes=lanes, k=k,
+                     c_in=c_in, dtype=dy_hbm.dtype)
     out_lanes = dx_ref.shape[-1]
     if epilogue:
         xb = x_ref[0].reshape(th * wg, out_lanes).astype(jnp.float32)
@@ -820,18 +902,8 @@ def _dx_slim_kernel(dy_hbm, y_hbm, w_ref, s1_ref, s2_ref, dx_ref, sdy,
     _dy_eff_tile(sdy, syv, slot, s1_ref, s2_ref, dy_hbm.dtype)
     _zero_halo_rows(sdy, slot, nh=nh, th=th)
     vflat = sdy[slot].reshape((th + 4) * wg, lanes)
-    acc = None
-    for u in range(3):
-        pa, pb, pc = _pieces(vflat, u, th=th, wg=wg, lanes=lanes,
-                             c_in=c_in, dtype=dy_hbm.dtype)
-        r0 = u * k
-        for patch, lo, hi in ((pa, r0, r0 + c_in),
-                              (pb, r0 + c_in, r0 + c_in + lanes),
-                              (pc, r0 + c_in + lanes, r0 + k)):
-            d = jax.lax.dot_general(
-                patch, w_ref[lo:hi, :], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            acc = d if acc is None else acc + d
+    acc = _conv_dots(vflat, w_ref, th=th, wg=wg, lanes=lanes, k=k,
+                     c_in=c_in, dtype=dy_hbm.dtype)
     out_lanes = dx_ref.shape[-1]
     dx_ref[0] = acc.reshape(th, wg, out_lanes).astype(dx_ref.dtype)
 
@@ -849,7 +921,7 @@ def _dx_bn_impl(dy, y, xp, w_dx, ds1, ds2, a_l, b_l, p, prologue):
     th = _pick_th_dx(h, wg, lanes, k, out_lanes, itemsize, prologue)
     assert th > 0, "dx geometry must fit whenever the forward did"
     nh = h // th
-    wp = pack_weights(w_dx, p)
+    wp = _pack_weights_v3(w_dx, p)
     scratch_shapes = [
         pltpu.VMEM((2, th + 4, wg, lanes), dy.dtype),
         pltpu.VMEM((2, th + 4, wg, lanes), dy.dtype),
@@ -926,16 +998,8 @@ def _dw_bn2_kernel(xp_hbm, dy_ref, yv_ref, a_ref, b_ref, s1_ref, s2_ref,
          + 2.0 * yv_ref[0].astype(jnp.float32) * s2_ref[:][0]
          ).astype(xp_hbm.dtype)
     dy2 = e.reshape(th * wg, dy_ref.shape[-1])
-    for u in range(3):
-        pa, pb, pc = _pieces(vflat, u, th=th, wg=wg, lanes=lanes,
-                             c_in=c_in, dtype=xp_hbm.dtype)
-        r0 = u * k
-        for patch, lo, hi in ((pa, r0, r0 + c_in),
-                              (pb, r0 + c_in, r0 + c_in + lanes),
-                              (pc, r0 + c_in + lanes, r0 + k)):
-            acc[lo:hi] += jax.lax.dot_general(
-                patch, dy2, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+    _dw_accum(vflat, dy2, acc, th=th, wg=wg, lanes=lanes, k=k,
+              c_in=c_in, dtype=xp_hbm.dtype)
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
@@ -981,4 +1045,4 @@ def _dw_bn2_impl(xp, dy, y, ds1, ds2, c_in, a_l, b_l, p_force, prologue):
         interpret=common.interpret_mode(),
     )(xp, dyb, yb, a_l.reshape(1, -1), b_l.reshape(1, -1),
       ds1.reshape(1, -1), ds2.reshape(1, -1))
-    return _fold_dw(dwp, p, c_in, c_out)
+    return _fold_dw(_unperm_dw(dwp, c_in, lanes), p, c_in, c_out)
