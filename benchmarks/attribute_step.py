@@ -46,7 +46,7 @@ def classify(meta: str, hlo_name: str) -> tuple[str, str]:
     low = meta.lower()
     is_bwd = "transpose" in low
     layer = "?"
-    m = re.search(r"/((?:enc|dec|bot|head|up)[\w]*)/", low)
+    m = re.search(r"/((?:enc|dec|bot|head|up|eltwise|pool)[\w]*)/", low)
     if m:
         layer = m.group(1)
     if "/bn" in low or "batch_norm" in low or "batchnorm" in low:

@@ -682,9 +682,11 @@ class UNet(nn.Module):
                 feats, c_in, P, mode=mode, dtype=self.dtype,
                 dp_axis=self.dp_axis,
                 name=f"enc{level}")(x if level == 0 else xp, train=train)
-            zp = bn_relu_apply(yp, sc, sh, P)
+            with jax.named_scope(f"eltwise{level}"):
+                zp = bn_relu_apply(yp, sc, sh, P)
             skips_p.append(zp)
-            xp = maxpool2x2_packed(zp, feats)
+            with jax.named_scope(f"pool{level}"):
+                xp = maxpool2x2_packed(zp, feats)
 
         # deep region in NHWC (standard modules)
         h_deep = x.shape[1] // (2 ** prefix)
@@ -724,14 +726,16 @@ class UNet(nn.Module):
                 bb, hh, ww, cc = xd.shape
                 below_p = xd.reshape(bb, hh, ww // P, P * cc)
             else:
-                below_p = bn_relu_apply(xp, dec_sc, dec_sh, P)
+                with jax.named_scope(f"eltwise_dec{level}"):
+                    below_p = bn_relu_apply(xp, dec_sc, dec_sh, P)
             up_p = PackedUp(feats, c_below, (g_out, lanes_out),
                             dtype=self.dtype, name=f"up{level}")(below_p)
             xp, dec_sc, dec_sh = PackedLevel(
                 feats, feats, P, mode="split", dtype=self.dtype,
                 dp_axis=self.dp_axis,
                 name=f"dec{level}")((skips_p[level], up_p), train=train)
-        z0 = bn_relu_apply(xp, dec_sc, dec_sh, P)
+        with jax.named_scope("eltwise_out"):
+            z0 = bn_relu_apply(xp, dec_sc, dec_sh, P)
         if keep_packed:
             return z0                       # [B, H, G, P·c] packed view
         return z0.reshape(b, x.shape[1], x.shape[2], c)
