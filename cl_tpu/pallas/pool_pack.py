@@ -93,13 +93,25 @@ def _fwd_kernel(x_ref, y_ref, *, th, g, lanes, c):
         y_ref[0, :, :, gp * (lanes // 2):(gp + 1) * (lanes // 2)] = q
 
 
-def _bwd_kernel(x_ref, dy_ref, dx_ref, *, th, g, lanes, c):
+def _bwd_kernel(x_ref, dy_ref, *refs, th, g, lanes, c):
     """dx block is DECLARED with the interleave structure
     [1, th, 2(row phase), g/2, 2(group parity), lanes] so the routed
     quadrants are written as four plane STORES — the earlier
     stack+reshape interleaves were cross-sublane vreg shuffles costing
-    ~3.5 ms at the 512² level (measured; the reshape outside is free)."""
+    ~3.5 ms at the 512² level (measured; the reshape outside is free).
+
+    p ≥ 2 routing runs at FULL lane width: every cross-lane movement is
+    a dot with a constant 0/1 lane-routing matrix (MXU does arbitrary
+    lane permutation/broadcast at full speed; VPU lane shuffles and
+    sub-width selects do not — quarter-width selects measured 3.9 ms at
+    the 512² level, and slice+concat lane rotates 10.2 ms, vs the
+    ~0.4 ms HBM bound). ``swap`` exchanges adjacent c-lane blocks so
+    each lane sees its column partner; ``b0/b1`` spread one group
+    parity's dy half onto both partner blocks. Exactness: each output
+    lane of these dots has exactly one nonzero term, so bf16 in/f32
+    accumulate reproduces the operand bits."""
     p = lanes // c
+    dx_ref = refs[-1]
     v = x_ref[0].reshape(th, 2, g, lanes)
     r0, r1 = v[:, 0], v[:, 1]
     zero = jnp.zeros((), dy_ref.dtype)
@@ -119,32 +131,68 @@ def _bwd_kernel(x_ref, dy_ref, dx_ref, *, th, g, lanes, c):
         dx_ref[0, :, 1, :, 0] = jnp.where(s1, dbot, zero)
         dx_ref[0, :, 1, :, 1] = jnp.where(s1, zero, dbot)
         return
-    v0 = r0.reshape(th, g // 2, 2, lanes)
-    v1 = r1.reshape(th, g // 2, 2, lanes)
+    swap_ref, b0_ref, b1_ref = refs[0], refs[1], refs[2]
+
+    def lane_dot(a, m_ref):
+        flat = a.reshape(th * a.shape[1], lanes)
+        out = jax.lax.dot_general(
+            flat, m_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return out.reshape(th, a.shape[1], lanes)
+
+    # Partner values at every lane (even block sees odd, odd sees even).
+    r0f, r1f = r0.astype(jnp.float32), r1.astype(jnp.float32)
+    p0 = lane_dot(r0, swap_ref)                    # [th, g, L] f32
+    p1 = lane_dot(r1, swap_ref)
+    one, zf = jnp.float32(1.0), jnp.float32(0.0)
+    # Window-row maxes are pair-symmetric: identical at both partner
+    # lanes, so the row select is computable once at full width. Masks
+    # stay f32 0/1 and route by MULTIPLY: Mosaic cannot lane-slice i1
+    # vectors (trunci i8→i1 rejected), and ×{0,1} is exact in bf16.
+    rsel = jnp.where(_ge(jnp.maximum(r0f, p0), jnp.maximum(r1f, p1)),
+                     one, zf)
+    # Column winner with first-column ties: even lanes keep >=, odd
+    # lanes (holding the second column) must lose exact ties. Selects
+    # between BOOLEAN vectors also hit the i1 truncation, so the >=/>
+    # masks go through f32 before the even/odd mix.
+    even = (jax.lax.broadcasted_iota(jnp.int32, (th, g, lanes), 2)
+            // c % 2) == 0
+
+    def colwin(rf, pf):
+        return jnp.where(even, jnp.where(rf >= pf, one, zf),
+                         jnp.where(rf > pf, one, zf))
+
+    col0 = colwin(r0f, p0)
+    col1 = colwin(r1f, p1)
     dy = dy_ref[0]                                 # [th, G/2, L]
-    for gp in range(2):                            # input group parity
-        d0_blocks, d1_blocks = [], []
-        for u in range(p // 2):
-            e0 = v0[:, :, gp, (2 * u) * c:(2 * u + 1) * c]
-            o0 = v0[:, :, gp, (2 * u + 1) * c:(2 * u + 2) * c]
-            e1 = v1[:, :, gp, (2 * u) * c:(2 * u + 1) * c]
-            o1 = v1[:, :, gp, (2 * u + 1) * c:(2 * u + 2) * c]
-            m0 = jnp.maximum(e0, o0)
-            m1 = jnp.maximum(e1, o1)
-            d = dy[..., gp * (lanes // 2) + u * c:
-                   gp * (lanes // 2) + (u + 1) * c]
-            sel_row = _ge(m0, m1)                     # tie -> first row
-            dtop = jnp.where(sel_row, d, zero)
-            dbot = jnp.where(sel_row, zero, d)
-            s0 = _ge(e0, o0)                          # tie -> first column
-            s1 = _ge(e1, o1)
-            d0_blocks += [jnp.where(s0, dtop, zero),
-                          jnp.where(s0, zero, dtop)]
-            d1_blocks += [jnp.where(s1, dbot, zero),
-                          jnp.where(s1, zero, dbot)]
-        # lane concat (static lane offsets) — no sublane movement
-        dx_ref[0, :, 0, :, gp] = jnp.concatenate(d0_blocks, axis=-1)
-        dx_ref[0, :, 1, :, gp] = jnp.concatenate(d1_blocks, axis=-1)
+    vr = rsel.reshape(th, g // 2, 2, lanes)
+    vc0 = col0.reshape(th, g // 2, 2, lanes)
+    vc1 = col1.reshape(th, g // 2, 2, lanes)
+    for gp, b_ref in ((0, b0_ref), (1, b1_ref)):   # input group parity
+        e = lane_dot(dy, b_ref)                    # dy at both partners
+        rs, c0, c1 = vr[:, :, gp], vc0[:, :, gp], vc1[:, :, gp]
+        dx_ref[0, :, 0, :, gp] = (e * rs * c0).astype(dy.dtype)
+        dx_ref[0, :, 1, :, gp] = (e * (one - rs) * c1).astype(dy.dtype)
+
+
+def _routing_mats(lanes, c, dtype):
+    """(swap, b0, b1) constant lane-routing matrices for ``x @ m``.
+
+    swap[s, d] = 1 where s is d's column partner (adjacent c-block);
+    b{gp}[s, d] = 1 where source dy lane s = gp·L/2 + u·c + ch feeds
+    both destination blocks 2u and 2u+1 at channel ch."""
+    import numpy as np
+    d = np.arange(lanes)
+    blk, ch = d // c, d % c
+    swap = np.zeros((lanes, lanes), np.float32)
+    swap[np.where(blk % 2 == 0, d + c, d - c), d] = 1.0
+    b0 = np.zeros((lanes, lanes), np.float32)
+    b1 = np.zeros((lanes, lanes), np.float32)
+    src = (blk // 2) * c + ch
+    b0[src, d] = 1.0
+    b1[lanes // 2 + src, d] = 1.0
+    return (jnp.asarray(swap, dtype), jnp.asarray(b0, dtype),
+            jnp.asarray(b1, dtype))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
@@ -178,23 +226,30 @@ def _bwd(c, xp, dy):
     ho = h // 2
     nh = ho // th
     dy = dy.astype(xp.dtype)
+    in_specs = [pl.BlockSpec((1, 2 * th, g, lanes),
+                             lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, th, g // 2, lanes),
+                             lambda i: (i, 0, 0, 0))]
+    extra = ()
+    if lanes // c >= 2:
+        # lane-routing constants for the MXU dots (see _bwd_kernel);
+        # every grid step reads the same [L, L] block.
+        extra = _routing_mats(lanes, c, xp.dtype)
+        in_specs += [pl.BlockSpec((lanes, lanes), lambda i: (0, 0))] * 3
     # out block carries the interleave structure (row phase, group
     # parity) as its own dims — the flat view is the same linear order,
     # so the final reshape is free (see _bwd_kernel docstring).
     dx = pl.pallas_call(
         functools.partial(_bwd_kernel, th=th, g=g, lanes=lanes, c=c),
         grid=(b * nh,),
-        in_specs=[pl.BlockSpec((1, 2 * th, g, lanes),
-                               lambda i: (i, 0, 0, 0)),
-                  pl.BlockSpec((1, th, g // 2, lanes),
-                               lambda i: (i, 0, 0, 0))],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, th, 2, g // 2, 2, lanes),
                                lambda i: (i, 0, 0, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b * nh, th, 2, g // 2, 2, lanes),
                                        xp.dtype),
         interpret=common.interpret_mode(),
     )(xp.reshape(b * nh, 2 * th, g, lanes),
-      dy.reshape(b * nh, th, g // 2, lanes))
+      dy.reshape(b * nh, th, g // 2, lanes), *extra)
     return (dx.reshape(b, h, g, lanes),)
 
 
