@@ -239,9 +239,9 @@ def head_cross_entropy(features, head_kernel, head_bias, labels,
 #     lanes masked invalid) — each lane group's p pixels get their own
 #     Cp-lane logit block;
 #   * softmax needs PER-PIXEL (segmented) reductions over Cp-lane
-#     blocks: sums ride the MXU (z @ S, S[l,i] = [l in block i]), the
-#     p-fold max uses p static lane slices; scalars broadcast back to
-#     lanes with the transposed selector (m4 @ Sᵀ);
+#     blocks: sums ride the MXU (z @ S, S[l,i] = [l and i in the same
+#     block] — one dot is reduce AND broadcast), maxes ride it too via
+#     an XOR-butterfly of lane-permutation dots (_block_max);
 #   * labels enter packed [rows, p] (f32 — exact for class ids) and are
 #     expanded to lanes the same way.
 #
@@ -249,17 +249,49 @@ def head_cross_entropy(features, head_kernel, head_bias, labels,
 # packed tensors on either side.
 
 
-def _block_bcast(t, cp, fn):
-    """Per-cp-lane-block reduce-and-splat: slice → lane reduce [rows,1]
-    → broadcast back to the block's lanes → lane concat.  Everything
-    stays full-width [rows, L]; no [rows, p]-shaped tensors and no
-    tiny-operand matmuls (both measured pathologically slow in Mosaic)."""
-    rows = t.shape[0]
-    outs = []
-    for i in range(t.shape[-1] // cp):
-        r = fn(t[:, i * cp:(i + 1) * cp])              # [rows, 1]
-        outs.append(jnp.broadcast_to(r, (rows, cp)))
-    return jnp.concatenate(outs, axis=-1)
+def _lane_dot(a, m, prefer=jnp.float32):
+    return jax.lax.dot_general(a, m, (((1,), (0,)), ((), ())),
+                               preferred_element_type=prefer)
+
+
+def _block_sum(t, sblk_ref):
+    """Per-cp-lane-block sum splatted back to every lane of its block —
+    ONE full-width dot with the 0/1 block-membership matrix (the MXU
+    performs segmented reduce+broadcast at full speed; the earlier
+    slice→reduce→splat→concat form ran sub-width on the VPU and cost
+    ~5 ms/step at 512², the reason packed_head_ce originally measured
+    negative)."""
+    return _lane_dot(t, sblk_ref[...])
+
+
+def _block_max(t, pxor_ref, cp):
+    """Per-cp-lane-block max splatted to every lane: XOR-butterfly of
+    lane-permutation dots in bf16. Any m' works for the logsumexp
+    identity logz = m' + log Σ exp(z − m') — bf16 rounding of the max
+    estimate only perturbs intermediate rounding, not the result — so
+    the permutation dots run at full bf16 MXU rate and stay exact
+    (single nonzero term per output lane)."""
+    mb = t.astype(jnp.bfloat16)
+    for k in range(pxor_ref.shape[0]):
+        # f32 accumulate (Mosaic requires 32-bit acc) then back to bf16
+        # — exact: one nonzero term per output lane.
+        mb = jnp.maximum(mb, _lane_dot(mb, pxor_ref[k])
+                         .astype(jnp.bfloat16))
+    return mb.astype(jnp.float32)
+
+
+def _head_routing_mats(lanes, cp):
+    """(sblk [L,L] f32, pxor [log2(cp),L,L] bf16) lane-routing constants
+    (see _block_sum/_block_max)."""
+    i = np.arange(lanes)
+    sblk = (i[:, None] // cp == i[None, :] // cp).astype(np.float32)
+    stages = []
+    s = cp // 2
+    while s >= 1:
+        stages.append((i[:, None] == (i[None, :] ^ s)).astype(np.float32))
+        s //= 2
+    return (jnp.asarray(sblk, jnp.float32),
+            jnp.asarray(np.stack(stages), jnp.bfloat16))
 
 
 def _lbl_lanes(lbl_ref, cp, ignore_index):
@@ -271,18 +303,16 @@ def _lbl_lanes(lbl_ref, cp, ignore_index):
 
 
 def _packed_softmax_parts(x_ref, wbd_ref, bl_ref, vl_ref, lbl_ref,
-                          ignore_index, p, cp):
+                          sblk_ref, pxor_ref, ignore_index, p, cp):
     """Shared fwd/bwd tile math, all full-width [rows, L] f32: returns
     (zm, m_l, logs_l, e, pix_l, onehot)."""
     z = jax.lax.dot_general(
         x_ref[...], wbd_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + bl_ref[0]
     zm = jnp.where(vl_ref[0] > 0, z, NEG_INF)
-    m_l = _block_bcast(zm, cp,
-                       lambda b: jnp.max(b, axis=-1, keepdims=True))
+    m_l = _block_max(zm, pxor_ref, cp)
     e = jnp.exp(zm - m_l)
-    logs_l = _block_bcast(
-        e, cp, lambda b: jnp.log(jnp.sum(b, axis=-1, keepdims=True)))
+    logs_l = jnp.log(_block_sum(e, sblk_ref))
     lbl_l, pix_l = _lbl_lanes(lbl_ref, cp, ignore_index)
     cls_iota = jax.lax.broadcasted_iota(jnp.int32, zm.shape, 1) % cp
     onehot = (cls_iota == lbl_l)
@@ -290,7 +320,7 @@ def _packed_softmax_parts(x_ref, wbd_ref, bl_ref, vl_ref, lbl_ref,
 
 
 def _pk_fwd_kernel(ignore_index, p, cp, x_ref, wbd_ref, bl_ref, vl_ref,
-                   lbl_ref, out_ref, acc):
+                   lbl_ref, sblk_ref, pxor_ref, out_ref, acc):
     """Per-tile totals accumulate via MXU colsum into a lane vector; the
     single lane→scalar fold happens once at the last grid step.  The
     logz term is replicated cp× per pixel, hence the exact 1/cp scale
@@ -302,7 +332,8 @@ def _pk_fwd_kernel(ignore_index, p, cp, x_ref, wbd_ref, bl_ref, vl_ref,
         acc[:] = jnp.zeros_like(acc)
 
     zm, m_l, logs_l, _, pix_l, onehot = _packed_softmax_parts(
-        x_ref, wbd_ref, bl_ref, vl_ref, lbl_ref, ignore_index, p, cp)
+        x_ref, wbd_ref, bl_ref, vl_ref, lbl_ref, sblk_ref, pxor_ref,
+        ignore_index, p, cp)
     logz_l = m_l + logs_l
     contrib = (logz_l * (1.0 / cp) - jnp.where(onehot, zm, 0.0)) * pix_l
     acc[0:1] += common.colsum(contrib)
@@ -313,8 +344,8 @@ def _pk_fwd_kernel(ignore_index, p, cp, x_ref, wbd_ref, bl_ref, vl_ref,
 
 
 def _pk_bwd_kernel(ignore_index, p, cp, x_ref, wbd_ref, wbdt_ref, bl_ref,
-                   vl_ref, lbl_ref, scale_ref, dx_ref, dw_ref, db_ref,
-                   dwacc, dbacc):
+                   vl_ref, lbl_ref, sblk_ref, pxor_ref, scale_ref,
+                   dx_ref, dw_ref, db_ref, dwacc, dbacc):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -323,11 +354,9 @@ def _pk_bwd_kernel(ignore_index, p, cp, x_ref, wbd_ref, wbdt_ref, bl_ref,
         dbacc[:] = jnp.zeros_like(dbacc)
 
     zm, m_l, _, e, pix_l, onehot = _packed_softmax_parts(
-        x_ref, wbd_ref, bl_ref, vl_ref, lbl_ref, ignore_index, p, cp)
-    r_l = _block_bcast(
-        e, cp,
-        lambda b: 1.0 / jnp.sum(b, axis=-1, keepdims=True))
-    pvec = e * r_l
+        x_ref, wbd_ref, bl_ref, vl_ref, lbl_ref, sblk_ref, pxor_ref,
+        ignore_index, p, cp)
+    pvec = e / _block_sum(e, sblk_ref)
     g = scale_ref[0, 0] * pix_l * (pvec - onehot.astype(jnp.float32))
     g = jnp.where(vl_ref[0] > 0, g, 0.0)              # [rows, p·cp] f32
     gc = g.astype(x_ref.dtype)
@@ -376,7 +405,7 @@ def _pk_prep(features, labels, p):
     return x2, lbl_l.reshape(-1, p * cp)
 
 
-def _pick_rows(n: int, target: int = 1024) -> int:
+def _pick_rows(n: int, target: int = 2048) -> int:
     tn = min(n, target)
     while tn >= 8:
         if n % tn == 0:
@@ -401,6 +430,7 @@ def _head_ce_packed_fwd(features, w2, b, labels, valid_classes,
     assert cp is not None, "packed head needs classes <= lanes/p"
     wbd, wbdt, bl, vl = _bd_mats(w2, b, valid_classes, p, cp, cin,
                                  features.dtype)
+    sblk, pxor = _head_routing_mats(lanes, cp)
     x2, lblp = _pk_prep(features, labels, p)
     n, _ = x2.shape
     tn = _pick_rows(n)
@@ -413,13 +443,17 @@ def _head_ce_packed_fwd(features, w2, b, labels, valid_classes,
             pl.BlockSpec((1, p * cp), lambda i: (0, 0)),
             pl.BlockSpec((1, p * cp), lambda i: (0, 0)),
             pl.BlockSpec((tn, p * cp), lambda i: (i, 0)),
+            pl.BlockSpec((lanes, lanes), lambda i: (0, 0)),
+            pl.BlockSpec(pxor.shape, lambda i: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
         scratch_shapes=[pltpu.VMEM((2, p * cp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=common.interpret_mode(),
-    )(x2, wbd, bl, vl, lblp)[0, 0]
+    )(x2, wbd, bl, vl, lblp, sblk, pxor)[0, 0]
     return total, (features, w2, b, labels, valid_classes)
 
 
@@ -431,6 +465,7 @@ def _head_ce_packed_bwd(ignore_index, p, res, gcot):
     C = valid_classes.shape[0]
     wbd, wbdt, bl, vl = _bd_mats(w2, b, valid_classes, p, cp, cin,
                                  features.dtype)
+    sblk, pxor = _head_routing_mats(lanes, cp)
     x2, lblp = _pk_prep(features, labels, p)
     n, _ = x2.shape
     tn = _pick_rows(n)
@@ -445,6 +480,8 @@ def _head_ce_packed_bwd(ignore_index, p, res, gcot):
             pl.BlockSpec((1, p * cp), lambda i: (0, 0)),
             pl.BlockSpec((1, p * cp), lambda i: (0, 0)),
             pl.BlockSpec((tn, p * cp), lambda i: (i, 0)),
+            pl.BlockSpec((lanes, lanes), lambda i: (0, 0)),
+            pl.BlockSpec(pxor.shape, lambda i: (0, 0, 0)),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
@@ -456,8 +493,10 @@ def _head_ce_packed_bwd(ignore_index, p, res, gcot):
                    jax.ShapeDtypeStruct((1, p * cp), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((p * cp, lanes), jnp.float32),
                         pltpu.VMEM((1, p * cp), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=common.interpret_mode(),
-    )(x2, wbd, wbdt, bl, vl, lblp, scale)
+    )(x2, wbd, wbdt, bl, vl, lblp, sblk, pxor, scale)
     dfeat = dx.reshape(features.shape)
     # the p diagonal (class-block, cin-block) tiles of the full [L, L]
     # contraction are this head's dW (summed over pixel slots)
