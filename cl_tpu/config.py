@@ -171,12 +171,14 @@ class TrainConfig:
     fused_head_ce: str = "auto"
     # Pixel-major packed-view head+CE (head_ce.head_cross_entropy_packed):
     # consumes the packed UNet's lane-packed features directly, removing
-    # the unpack relayout + class-major transposes (~4 ms at 512²). OFF
-    # by default: MEASURED NET-NEGATIVE in-step (the block-diagonal
-    # kernel's own cost exceeds the relayouts it saves — 61.6 vs 52.8
-    # ms/step at 512²/b8; DESIGN.md §8 "packed head"). Kept as a tested
-    # opt-in frontier.
-    packed_head_ce: bool = False
+    # the unpack relayout + class-major transposes (~4 ms at 512²). ON
+    # by default: the gen-3 kernel converts each VMEM tile to
+    # class-major IN-KERNEL (p Mosaic 2-D transposes, zero extra HBM
+    # traffic) and runs the proven class-major CE math — measured
+    # 45.8 → 43.3 ms/step at 512²/b8 vs the XLA unpack+transpose
+    # boundary (DESIGN.md §8 "packed head"; two earlier block-diagonal
+    # generations measured negative).
+    packed_head_ce: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

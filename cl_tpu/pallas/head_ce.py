@@ -229,180 +229,103 @@ def head_cross_entropy(features, head_kernel, head_bias, labels,
 # Packed-view (pixel-major) variant — the packed-domain UNet's head
 # ---------------------------------------------------------------------------
 #
-# The class-major kernel above wants [Cin, P], which costs the packed
-# body an unpack relayout + transpose on BOTH sides of the step (~4 ms
-# at 512², DESIGN.md §8).  This variant consumes the packed view
-# [B,H,G,L] (L = p·Cin) DIRECTLY:
+# The packed-domain UNet's features arrive lane-packed [B,H,G,L] with
+# L = p*Cin (pixel-within-group u on the high lane bits).  The
+# class-major kernel above wants [Cin, P]; doing that relayout in XLA
+# costs ~4 ms/step at 512^2 of pure HBM traffic (reshape + transpose on
+# BOTH sides of the step — DESIGN.md §8).  An earlier generation kept
+# the packed layout end-to-end via a block-diagonal head matmul +
+# SEGMENTED softmax (lane-block reductions); it measured net-negative
+# twice (DESIGN.md §8 "packed head") because the segmented reductions
+# cannot reach MXU rate.
 #
-#   * the 1×1 head is a block-diagonal matmul: Wbd [L, p·Cp] with p
-#     copies of W[Cin, Cp] on the diagonal (Cp = L/p ≥ C classes, padded
-#     lanes masked invalid) — each lane group's p pixels get their own
-#     Cp-lane logit block;
-#   * softmax needs PER-PIXEL (segmented) reductions over Cp-lane
-#     blocks: sums ride the MXU (z @ S, S[l,i] = [l and i in the same
-#     block] — one dot is reduce AND broadcast), maxes ride it too via
-#     an XOR-butterfly of lane-permutation dots (_block_max);
-#   * labels enter packed [rows, p] (f32 — exact for class ids) and are
-#     expanded to lanes the same way.
-#
-# dfeat leaves the kernel ALREADY PACKED — zero XLA ops touch the
-# packed tensors on either side.
+# This generation instead converts each VMEM tile to class-major
+# IN-KERNEL with p Mosaic 2-D transposes (~2 us/tile measured — the
+# tile is already in VMEM for the head matmul, so the conversion adds
+# ZERO HBM traffic) and then runs the EXACT same per-pixel CE math as
+# the class-major kernels above.  dfeat is converted back in-kernel and
+# leaves packed.  In-kernel column order is u-major: column j = u*tn + r
+# for packed pixel (row i*tn + r, slot u); labels are pre-permuted
+# OUTSIDE to match (one s32 [n//tn, tn, p] transpose — ~2 MB at 512^2,
+# negligible next to the 134 MB feature relayout this kernel deletes).
+# CE is an order-free sum over pixels, so the permutation cancels.
 
 
-def _lane_dot(a, m, prefer=jnp.float32):
-    return jax.lax.dot_general(a, m, (((1,), (0,)), ((), ())),
-                               preferred_element_type=prefer)
+def _cm_from_packed(x, p, cin):
+    """In-kernel [tn, p*cin] -> [cin, tn*p] (column = u*tn + r)."""
+    return jnp.concatenate(
+        [x[:, u * cin:(u + 1) * cin].T for u in range(p)], axis=-1)
 
 
-def _block_sum(t, sblk_ref):
-    """Per-cp-lane-block sum splatted back to every lane of its block —
-    ONE full-width dot with the 0/1 block-membership matrix (the MXU
-    performs segmented reduce+broadcast at full speed; the earlier
-    slice→reduce→splat→concat form ran sub-width on the VPU and cost
-    ~5 ms/step at 512², the reason packed_head_ce originally measured
-    negative)."""
-    return _lane_dot(t, sblk_ref[...])
+def _packed_from_cm(d, p, tn):
+    """In-kernel inverse of :func:`_cm_from_packed`:
+    [cin, tn*p] -> [tn, p*cin]."""
+    return jnp.concatenate(
+        [d[:, u * tn:(u + 1) * tn].T for u in range(p)], axis=-1)
 
 
-def _block_max(t, pxor_ref, cp):
-    """Per-cp-lane-block max splatted to every lane: XOR-butterfly of
-    lane-permutation dots in bf16. Any m' works for the logsumexp
-    identity logz = m' + log Σ exp(z − m') — bf16 rounding of the max
-    estimate only perturbs intermediate rounding, not the result — so
-    the permutation dots run at full bf16 MXU rate and stay exact
-    (single nonzero term per output lane)."""
-    mb = t.astype(jnp.bfloat16)
-    for k in range(pxor_ref.shape[0]):
-        # f32 accumulate (Mosaic requires 32-bit acc) then back to bf16
-        # — exact: one nonzero term per output lane.
-        mb = jnp.maximum(mb, _lane_dot(mb, pxor_ref[k])
-                         .astype(jnp.bfloat16))
-    return mb.astype(jnp.float32)
+def _cm_logits(xcm, wt_ref, b_ref, v_ref):
+    """[C, cols] masked f32 logits from a class-major feature tile."""
+    wt = wt_ref[:].astype(xcm.dtype)
+    z = jax.lax.dot_general(wt, xcm, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + b_ref[:]
+    return jnp.where(v_ref[:] > 0, z, NEG_INF)
 
 
-def _head_routing_mats(lanes, cp):
-    """(sblk [L,L] f32, pxor [log2(cp),L,L] bf16) lane-routing constants
-    (see _block_sum/_block_max)."""
-    i = np.arange(lanes)
-    sblk = (i[:, None] // cp == i[None, :] // cp).astype(np.float32)
-    stages = []
-    s = cp // 2
-    while s >= 1:
-        stages.append((i[:, None] == (i[None, :] ^ s)).astype(np.float32))
-        s //= 2
-    return (jnp.asarray(sblk, jnp.float32),
-            jnp.asarray(np.stack(stages), jnp.bfloat16))
-
-
-def _lbl_lanes(lbl_ref, cp, ignore_index):
-    """Pre-expanded label block [rows, p·cp] (uint8, one label byte per
-    LANE — see _pk_prep) → per-lane label + pixel mask."""
-    li = lbl_ref[...].astype(jnp.int32)
-    pix_l = (li != ignore_index).astype(jnp.float32)
-    return jnp.where(li != ignore_index, li, 0), pix_l
-
-
-def _packed_softmax_parts(x_ref, wbd_ref, bl_ref, vl_ref, lbl_ref,
-                          sblk_ref, pxor_ref, ignore_index, p, cp):
-    """Shared fwd/bwd tile math, all full-width [rows, L] f32: returns
-    (zm, m_l, logs_l, e, pix_l, onehot)."""
-    z = jax.lax.dot_general(
-        x_ref[...], wbd_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) + bl_ref[0]
-    zm = jnp.where(vl_ref[0] > 0, z, NEG_INF)
-    m_l = _block_max(zm, pxor_ref, cp)
-    e = jnp.exp(zm - m_l)
-    logs_l = jnp.log(_block_sum(e, sblk_ref))
-    lbl_l, pix_l = _lbl_lanes(lbl_ref, cp, ignore_index)
-    cls_iota = jax.lax.broadcasted_iota(jnp.int32, zm.shape, 1) % cp
-    onehot = (cls_iota == lbl_l)
-    return zm, m_l, logs_l, e, pix_l, onehot
-
-
-def _pk_fwd_kernel(ignore_index, p, cp, x_ref, wbd_ref, bl_ref, vl_ref,
-                   lbl_ref, sblk_ref, pxor_ref, out_ref, acc):
-    """Per-tile totals accumulate via MXU colsum into a lane vector; the
-    single lane→scalar fold happens once at the last grid step.  The
-    logz term is replicated cp× per pixel, hence the exact 1/cp scale
-    (cp is a power of two)."""
+def _pkcm_fwd_kernel(ignore_index, p, x_ref, wt_ref, b_ref, lbl_ref,
+                     valid_ref, out_ref):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        acc[:] = jnp.zeros_like(acc)
+        out_ref[0, 0] = jnp.float32(0.0)
 
-    zm, m_l, logs_l, _, pix_l, onehot = _packed_softmax_parts(
-        x_ref, wbd_ref, bl_ref, vl_ref, lbl_ref, sblk_ref, pxor_ref,
-        ignore_index, p, cp)
-    logz_l = m_l + logs_l
-    contrib = (logz_l * (1.0 / cp) - jnp.where(onehot, zm, 0.0)) * pix_l
-    acc[0:1] += common.colsum(contrib)
+    cin = x_ref.shape[-1] // p
+    xcm = _cm_from_packed(x_ref[...], p, cin)          # [cin, tn*p]
+    z = _cm_logits(xcm, wt_ref, b_ref, valid_ref)
+    m = jnp.max(z, axis=0, keepdims=True)
+    logz = m + jnp.log(jnp.sum(jnp.exp(z - m), axis=0, keepdims=True))
+    lbl = lbl_ref[:]                                   # [1, tn*p] s32
+    pix = (lbl != ignore_index).astype(jnp.float32)
+    lbl0 = jnp.where(lbl == ignore_index, 0, lbl)
+    row = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+    picked = jnp.sum(jnp.where(row == lbl0, z, 0.0), axis=0, keepdims=True)
+    out_ref[0, 0] += jnp.sum((logz - picked) * pix)
 
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _():
-        out_ref[0, 0] = jnp.sum(acc[0:1], axis=-1)[0]
 
-
-def _pk_bwd_kernel(ignore_index, p, cp, x_ref, wbd_ref, wbdt_ref, bl_ref,
-                   vl_ref, lbl_ref, sblk_ref, pxor_ref, scale_ref,
-                   dx_ref, dw_ref, db_ref, dwacc, dbacc):
+def _pkcm_bwd_kernel(ignore_index, p, x_ref, wt_ref, w_ref, b_ref,
+                     lbl_ref, valid_ref, scale_ref, dx_ref, dw_ref,
+                     db_ref):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
-        dwacc[:] = jnp.zeros_like(dwacc)
-        dbacc[:] = jnp.zeros_like(dbacc)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
 
-    zm, m_l, _, e, pix_l, onehot = _packed_softmax_parts(
-        x_ref, wbd_ref, bl_ref, vl_ref, lbl_ref, sblk_ref, pxor_ref,
-        ignore_index, p, cp)
-    pvec = e / _block_sum(e, sblk_ref)
-    g = scale_ref[0, 0] * pix_l * (pvec - onehot.astype(jnp.float32))
-    g = jnp.where(vl_ref[0] > 0, g, 0.0)              # [rows, p·cp] f32
+    cin = x_ref.shape[-1] // p
+    tn = x_ref.shape[0]
+    xcm = _cm_from_packed(x_ref[...], p, cin)
+    z = _cm_logits(xcm, wt_ref, b_ref, valid_ref)
+    m = jnp.max(z, axis=0, keepdims=True)
+    e = jnp.exp(z - m)
+    prob = e / jnp.sum(e, axis=0, keepdims=True)
+    lbl = lbl_ref[:]
+    pix = (lbl != ignore_index).astype(jnp.float32)
+    lbl0 = jnp.where(lbl == ignore_index, 0, lbl)
+    row = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+    onehot = (row == lbl0).astype(jnp.float32)
+    g = scale_ref[0, 0] * pix * (prob - onehot)
+    g = jnp.where(valid_ref[:] > 0, g, 0.0)            # [C, tn*p] f32
     gc = g.astype(x_ref.dtype)
-    dx_ref[...] = jax.lax.dot_general(
-        gc, wbdt_ref[...], (((1,), (0,)), ((), ())),
+    dxcm = jax.lax.dot_general(
+        w_ref[:].astype(gc.dtype), gc, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dx_ref.dtype)
-    # ONE full-occupancy [L, L] contraction; the p diagonal (class-block,
-    # cin-block) tiles are extracted outside the kernel (tiny).
-    dwacc[:] += jax.lax.dot_general(
-        gc, x_ref[...], (((0,), (0,)), ((), ())),
+    dx_ref[...] = _packed_from_cm(dxcm, p, tn)
+    dw_ref[:] += jax.lax.dot_general(
+        gc, xcm, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
-    dbacc[:] += common.colsum(g)
-
-    @pl.when(i == pl.num_programs(0) - 1)
-    def _():
-        dw_ref[:] = dwacc[:]
-        db_ref[:] = dbacc[:]
-
-
-def _bd_mats(w2, b, valid_classes, p, cp, cin, dtype):
-    """Block-diagonal weights [p·cin, p·cp] (+ transpose), tiled bias and
-    validity lane vectors."""
-    C = valid_classes.shape[0]
-    wp = jnp.pad(w2, ((0, 0), (0, cp - C)))           # [cin, cp]
-    eye = jnp.eye(p, dtype=w2.dtype)
-    wbd = jnp.einsum("ij,cd->icjd", eye, wp).reshape(p * cin, p * cp)
-    wbdt = jnp.einsum("ij,cd->icjd", eye,
-                      wp.T).reshape(p * cp, p * cin)
-    bl = jnp.tile(jnp.pad(b, (0, cp - C)), p)[None, :]  # [1, p·cp] f32
-    vl = jnp.tile(jnp.pad(valid_classes.astype(jnp.float32),
-                          (0, cp - C)), p)[None, :]
-    return wbd.astype(dtype), wbdt.astype(dtype), bl, vl
-
-
-def _pk_prep(features, labels, p):
-    b_, h, g, lanes = features.shape
-    cp = lanes // p
-    x2 = features.reshape(-1, lanes)                  # [rows, L] free
-    # labels [B,H,W] → one uint8 label byte per FEATURE LANE (each
-    # pixel's label repeated over its cp class lanes): a full-lane-width
-    # block layout — a [rows, p] array would be lane-padded 128/p× in
-    # the tiled HBM layout, multiplying both its footprint and the
-    # kernel's DMA bytes.
-    lblq = labels.reshape(b_, h, g, p, 1).astype(jnp.uint8)
-    lbl_l = jnp.broadcast_to(lblq, (b_, h, g, p, cp))
-    return x2, lbl_l.reshape(-1, p * cp)
+    db_ref[:] += jnp.sum(g, axis=1, keepdims=True)
 
 
 def _pick_rows(n: int, target: int = 2048) -> int:
@@ -414,102 +337,91 @@ def _pick_rows(n: int, target: int = 2048) -> int:
     return n
 
 
+def _pkcm_prep(features, labels, p):
+    """Packed features -> ([n, L] row view, permuted labels [1, n*p], n,
+    tn).  The label permutation matches the kernel's u-major column
+    order per tile (see module comment)."""
+    lanes = features.shape[-1]
+    x2 = features.reshape(-1, lanes)                   # [n, L] — free
+    n = x2.shape[0]
+    tn = _pick_rows(n, target=max(8, 8192 // p))
+    lbl = labels.reshape(-1, p).astype(jnp.int32)      # [n, p] (w = g*p+u)
+    lbl = (lbl.reshape(n // tn, tn, p).transpose(0, 2, 1)
+           .reshape(1, n * p))                         # col = u*tn + r
+    return x2, lbl, n, tn
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _head_ce_packed_total(features, w2, b, labels, valid_classes,
                           ignore_index, p):
-    """UNNORMALIZED Σ NLL on the packed feature view [B,H,G,p·Cin]."""
+    """UNNORMALIZED sum NLL on the packed feature view [B,H,G,p*Cin]."""
     return _head_ce_packed_fwd(features, w2, b, labels, valid_classes,
                                ignore_index, p)[0]
 
 
 def _head_ce_packed_fwd(features, w2, b, labels, valid_classes,
                         ignore_index, p):
+    C = valid_classes.shape[0]
     lanes = features.shape[-1]
     cin = lanes // p
-    cp = lanes // p if lanes // p >= valid_classes.shape[0] else None
-    assert cp is not None, "packed head needs classes <= lanes/p"
-    wbd, wbdt, bl, vl = _bd_mats(w2, b, valid_classes, p, cp, cin,
-                                 features.dtype)
-    sblk, pxor = _head_routing_mats(lanes, cp)
-    x2, lblp = _pk_prep(features, labels, p)
-    n, _ = x2.shape
-    tn = _pick_rows(n)
+    x2, lbl, n, tn = _pkcm_prep(features, labels, p)
+    valid = valid_classes.astype(jnp.float32)[:, None]
     total = pl.pallas_call(
-        functools.partial(_pk_fwd_kernel, int(ignore_index), p, cp),
+        functools.partial(_pkcm_fwd_kernel, int(ignore_index), p),
         grid=(n // tn,),
         in_specs=[
             pl.BlockSpec((tn, lanes), lambda i: (i, 0)),
-            pl.BlockSpec((lanes, p * cp), lambda i: (0, 0)),
-            pl.BlockSpec((1, p * cp), lambda i: (0, 0)),
-            pl.BlockSpec((1, p * cp), lambda i: (0, 0)),
-            pl.BlockSpec((tn, p * cp), lambda i: (i, 0)),
-            pl.BlockSpec((lanes, lanes), lambda i: (0, 0)),
-            pl.BlockSpec(pxor.shape, lambda i: (0, 0, 0)),
+            pl.BlockSpec((C, cin), lambda i: (0, 0)),
+            pl.BlockSpec((C, 1), lambda i: (0, 0)),
+            pl.BlockSpec((1, tn * p), lambda i: (0, i)),
+            pl.BlockSpec((C, 1), lambda i: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((2, p * cp), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=common.interpret_mode(),
-    )(x2, wbd, bl, vl, lblp, sblk, pxor)[0, 0]
+    )(x2, w2.T, b[:, None], lbl, valid)[0, 0]
     return total, (features, w2, b, labels, valid_classes)
 
 
 def _head_ce_packed_bwd(ignore_index, p, res, gcot):
     features, w2, b, labels, valid_classes = res
+    C = valid_classes.shape[0]
     lanes = features.shape[-1]
     cin = lanes // p
-    cp = lanes // p
-    C = valid_classes.shape[0]
-    wbd, wbdt, bl, vl = _bd_mats(w2, b, valid_classes, p, cp, cin,
-                                 features.dtype)
-    sblk, pxor = _head_routing_mats(lanes, cp)
-    x2, lblp = _pk_prep(features, labels, p)
-    n, _ = x2.shape
-    tn = _pick_rows(n)
+    x2, lbl, n, tn = _pkcm_prep(features, labels, p)
+    valid = valid_classes.astype(jnp.float32)[:, None]
     scale = jnp.full((1, 1), gcot, jnp.float32)
-    dx, dwp, dbl = pl.pallas_call(
-        functools.partial(_pk_bwd_kernel, int(ignore_index), p, cp),
+    dx, dwt, db = pl.pallas_call(
+        functools.partial(_pkcm_bwd_kernel, int(ignore_index), p),
         grid=(n // tn,),
         in_specs=[
             pl.BlockSpec((tn, lanes), lambda i: (i, 0)),
-            pl.BlockSpec((lanes, p * cp), lambda i: (0, 0)),
-            pl.BlockSpec((p * cp, lanes), lambda i: (0, 0)),
-            pl.BlockSpec((1, p * cp), lambda i: (0, 0)),
-            pl.BlockSpec((1, p * cp), lambda i: (0, 0)),
-            pl.BlockSpec((tn, p * cp), lambda i: (i, 0)),
-            pl.BlockSpec((lanes, lanes), lambda i: (0, 0)),
-            pl.BlockSpec(pxor.shape, lambda i: (0, 0, 0)),
+            pl.BlockSpec((C, cin), lambda i: (0, 0)),
+            pl.BlockSpec((cin, C), lambda i: (0, 0)),
+            pl.BlockSpec((C, 1), lambda i: (0, 0)),
+            pl.BlockSpec((1, tn * p), lambda i: (0, i)),
+            pl.BlockSpec((C, 1), lambda i: (0, 0)),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(pl.BlockSpec((tn, lanes), lambda i: (i, 0)),
-                   pl.BlockSpec((p * cp, lanes), lambda i: (0, 0)),
-                   pl.BlockSpec((1, p * cp), lambda i: (0, 0))),
+                   pl.BlockSpec((C, cin), lambda i: (0, 0)),
+                   pl.BlockSpec((C, 1), lambda i: (0, 0))),
         out_shape=(jax.ShapeDtypeStruct((n, lanes), features.dtype),
-                   jax.ShapeDtypeStruct((p * cp, lanes), jnp.float32),
-                   jax.ShapeDtypeStruct((1, p * cp), jnp.float32)),
-        scratch_shapes=[pltpu.VMEM((p * cp, lanes), jnp.float32),
-                        pltpu.VMEM((1, p * cp), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+                   jax.ShapeDtypeStruct((C, cin), jnp.float32),
+                   jax.ShapeDtypeStruct((C, 1), jnp.float32)),
         interpret=common.interpret_mode(),
-    )(x2, wbd, wbdt, bl, vl, lblp, sblk, pxor, scale)
+    )(x2, w2.T, w2, b[:, None], lbl, valid, scale)
     dfeat = dx.reshape(features.shape)
-    # the p diagonal (class-block, cin-block) tiles of the full [L, L]
-    # contraction are this head's dW (summed over pixel slots)
-    dwb = sum(dwp[u * cp:(u + 1) * cp, u * cin:(u + 1) * cin]
-              for u in range(p))
-    dw = dwb[:C, :].T                                  # [cin, C]
-    db = dbl[0].reshape(p, cp).sum(0)[:C]
-    return (dfeat, dw, db,
+    return (dfeat, dwt.T, db[:, 0],
             np.zeros(labels.shape, jax.dtypes.float0),
             np.zeros(valid_classes.shape, jax.dtypes.float0))
 
 
 _head_ce_packed_total.defvjp(_head_ce_packed_fwd, _head_ce_packed_bwd)
+
+
 
 
 def head_cross_entropy_packed(features, head_kernel, head_bias, labels,

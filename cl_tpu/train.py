@@ -245,8 +245,7 @@ def make_train_step(cfg: Config, model: UNet, tx,
             in_specs=(P(sharding.DATA_AXIS), P(), P(),
                       P(sharding.DATA_AXIS), P()),
             out_specs=(P(), P()), check_vma=False)
-        if (cfg.model.packed_unet and cfg.train.packed_head_ce
-                and cfg.data.num_classes <= cfg.model.base_channels):
+        if cfg.model.packed_unet and cfg.train.packed_head_ce:
             from cl_tpu.pallas.conv3x3 import pick_pack as _ppk
 
             _Ppk = _ppk(cfg.model.base_channels, cfg.model.base_channels)
@@ -293,15 +292,14 @@ def make_train_step(cfg: Config, model: UNet, tx,
 
     fwd_apply = _pick_fwd_apply(cfg, model, mesh, spatial_mesh)
 
-    # Packed-view head+CE: when the packed UNet engages and the class
-    # count fits a lane block (C <= base_channels = lanes/p), the fused
-    # head consumes the packed features directly — no unpack relayout
-    # or class-major transpose on either side (pallas/head_ce.py).
+    # Packed-view head+CE: when the packed UNet engages, the fused head
+    # consumes the packed features directly — no unpack relayout or
+    # class-major transpose on either side (pallas/head_ce.py; the
+    # layout conversion happens per-tile in VMEM, so any class count
+    # works).
     want_packed_feats = (use_fused_head and cfg.model.packed_unet
                          and cfg.train.packed_head_ce
-                         and spatial_mesh is None
-                         and cfg.data.num_classes
-                         <= cfg.model.base_channels)
+                         and spatial_mesh is None)
 
     def apply_train(params, model_state, x, features: bool = False):
         mutable = list(model_state.keys())

@@ -475,3 +475,33 @@ def test_head_ce_packed_grow_mode():
     for r, g in zip(g_ref, g_got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_head_ce_packed_more_classes_than_cin():
+    """C > Cin = lanes/p (e.g. 21 VOC classes on a base-16 model): the
+    gen-3 kernel is class-major inside, so no lane-block class limit —
+    this backs the removal of the C<=base_channels gate in train.py."""
+    from cl_tpu.pallas import head_ce
+
+    feats, kern, bias, labels, valid = _head_fixture(seed=27, cin=16,
+                                                     classes=21, width=21)
+    p = 128 // feats.shape[-1]
+    b, h, w, cin = feats.shape
+    fp = feats.reshape(b, h, w // p, p * cin)
+    ref, _ = _head_oracle(feats, kern, bias, labels, valid, 21)
+    got, _ = head_ce.head_cross_entropy_packed(fp, kern, bias, labels,
+                                               valid, p=p)
+    np.testing.assert_allclose(float(got), float(ref), rtol=1e-5)
+
+    def f_pk(f, k, bb):
+        return head_ce.head_cross_entropy_packed(
+            f.reshape(b, h, w // p, p * cin), k, bb, labels, valid,
+            p=p)[0]
+
+    g_ref = jax.grad(
+        lambda f, k, bb: _head_oracle(f, k, bb, labels, valid, 21)[0],
+        argnums=(0, 1, 2))(feats, kern, bias)
+    g_got = jax.grad(f_pk, argnums=(0, 1, 2))(feats, kern, bias)
+    for r, g in zip(g_ref, g_got):
+        np.testing.assert_allclose(np.asarray(g).reshape(r.shape),
+                                   np.asarray(r), rtol=1e-4, atol=1e-6)
