@@ -75,9 +75,11 @@ class ModelConfig:
     # views — gen-3 packed convs, PackedBatchNorm (analytic VJP), packed
     # pool and transposed conv, concat distributed over the decoder's
     # split convs — so no layout round-trips exist between ops
-    # (models/unet.py::UNet._packed_body; DESIGN.md §8). Single-device
-    # only (Pallas custom calls don't partition under a mesh).
-    packed_unet: bool = False
+    # (models/unet.py::UNet._packed_body; DESIGN.md §8). ON by default,
+    # auto-gated to the measured-win envelope below; under a DP mesh the
+    # body runs inside shard_map with psum'd BatchNorm stats; under
+    # spatial_parallel it falls back to the standard body (warned).
+    packed_unet: bool = True
     # Measured-win envelope for packed execution: engages only at
     # image_size >= packed_min_size AND base_channels <= 32 (ladder
     # measurements: 128² f32 197 vs 250 img/s and 256²/64ch f32 179 vs

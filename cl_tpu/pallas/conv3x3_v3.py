@@ -48,7 +48,31 @@ from jax.experimental.pallas import tpu as pltpu
 from cl_tpu.pallas import common
 from cl_tpu.pallas.conv3x3 import pick_pack, pack_weights, _fold_dw
 
-_VMEM_BUDGET = 12 * 1024 * 1024  # of Mosaic's 16 MB scoped-VMEM stack
+import os as _os
+
+_VMEM_BUDGET = int(_os.environ.get(
+    "CL_TPU_CONV_BUDGET", 12 * 1024 * 1024))  # Mosaic scoped-VMEM stack
+# Raised scoped-VMEM ceiling passed to Mosaic (CompilerParams.
+# vmem_limit_bytes; v5e has 128 MB VMEM/core); None = the 16 MB default.
+# The single-pass fused backward kernel needs it — its budget below.
+_VMEM_LIMIT: int | None = 100 * 1024 * 1024
+_VMEM_BUDGET_FUSED = int(_os.environ.get(
+    "CL_TPU_BWDF_BUDGET", 64 * 1024 * 1024))
+# Route conv_bn_fused's backward through the one-pass dx+dW kernel.
+# MEASURED NET-NEGATIVE at 512²/b8 bf16 (43.4 → 44.2 ms/step; tile
+# budget swept 14/24/64 MB → 44.7/43.9/44.2) — the ~268 MB/conv of
+# saved (dy, y) re-reads don't pay for the longer per-tile critical
+# path (dx dots → epilogue → prologue → dW dots) and tripled VMEM
+# footprint.  Kept as a tested opt-in (DESIGN.md §8).
+_FUSE_BWD = _os.environ.get("CL_TPU_FUSE_BWD", "0") == "1"
+_ROW_TARGET = int(_os.environ.get("CL_TPU_ROW_TARGET", 8192))
+
+
+def _cparams():
+    if _VMEM_LIMIT is None:
+        return {}
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=_VMEM_LIMIT)}
 
 
 def _vmem_estimate(th, wg, lanes, k, p, c_out, itemsize) -> int:
@@ -75,7 +99,7 @@ def _pick_th(h: int, wg: int, lanes: int, itemsize: int,
                 <= _VMEM_BUDGET:
             return th
         return 0
-    th = min(h, max(8, (8192 // max(1, wg)) // 8 * 8))
+    th = min(h, max(8, (_ROW_TARGET // max(1, wg)) // 8 * 8))
     while th >= 8:
         if h % th == 0 and _vmem_estimate(
                 th, wg, lanes, k, p, c_out, itemsize) <= _VMEM_BUDGET:
@@ -419,6 +443,7 @@ def _fwd_packed(xp: jax.Array, w: jax.Array,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=common.interpret_mode(),
+        **_cparams(),
     )(xp, wp)
     return y.reshape(b, h, wg, p * c_out)
 
@@ -459,6 +484,7 @@ def _dw_packed(xp: jax.Array, dyp4: jax.Array, c_in: int,
             pltpu.VMEM((3 * k, p * c_out), jnp.float32),
         ],
         interpret=common.interpret_mode(),
+        **_cparams(),
     )(xp, dyp)
     return _fold_dw(_unperm_dw(dwp, c_in, lanes), p, c_in, c_out)
 
@@ -672,6 +698,7 @@ def _fwd_bn_impl(xp, w, a_l, b_l, p_force, prologue):
             pltpu.VMEM((2, p * c_out), jnp.float32),
         ],
         interpret=common.interpret_mode(),
+        **_cparams(),
     )(xp, wp, a_l.reshape(1, -1), b_l.reshape(1, -1))
     return y.reshape(b, h, wg, p * c_out), s[0], s[1]
 
@@ -702,6 +729,7 @@ def _dw_bn_impl(xp, dyp4, c_in, a_l, b_l, p_force, prologue):
             pltpu.VMEM((3 * k, p * c_out), jnp.float32),
         ],
         interpret=common.interpret_mode(),
+        **_cparams(),
     )(xp, dyp, a_l.reshape(1, -1), b_l.reshape(1, -1))
     return _fold_dw(_unperm_dw(dwp, c_in, lanes), p, c_in, c_out)
 
@@ -753,6 +781,17 @@ def _cbf_bwd(p, prologue, res, cots):
     # step regression).
     lanes_x = p * c_in
     kx = (p + 2) * c_in
+    if _FUSE_BWD:
+        th_f = _pick_th_bwdf(h, wg, lanes, lanes_x, kk, kx, itemsize,
+                             prologue)
+        if th_f > 0:
+            dxp, da_l, db_l, dw = _bwd_fused_impl(
+                dy, y, xp, w_dx, ds1, ds2, a_l, b_l, p, prologue, th_f)
+            dw = dw.astype(w.dtype)
+            if not prologue:
+                da_l = jnp.zeros_like(a_l)
+                db_l = jnp.zeros_like(b_l)
+            return dxp, dw, da_l, db_l
     th_dw2 = _pick_th_dw2(h, wg, lanes_x, kx, p, c_out_fwd, itemsize)
     if th > 0 and th_dw2 > 0:
         dxp, da_l, db_l = _dx_bn_impl(dy, y, xp, w_dx, ds1, ds2, a_l,
@@ -826,7 +865,7 @@ def _pick_th_dw2(h, wg, lanes, k, p, c_out, itemsize) -> int:
 
     if h <= 16:
         return h if fits(h) else 0
-    th = min(h, max(8, (8192 // max(1, wg)) // 8 * 8))
+    th = min(h, max(8, (_ROW_TARGET // max(1, wg)) // 8 * 8))
     while th >= 8:
         if h % th == 0 and fits(th):
             return th
@@ -841,7 +880,7 @@ def _pick_th_dx(h, wg, lanes, k, out_lanes, itemsize, epilogue) -> int:
                              epilogue) <= _VMEM_BUDGET:
             return th
         return 0
-    th = min(h, max(8, (8192 // max(1, wg)) // 8 * 8))
+    th = min(h, max(8, (_ROW_TARGET // max(1, wg)) // 8 * 8))
     while th >= 8:
         if h % th == 0 and _vmem_estimate_dx(
                 th, wg, lanes, k, out_lanes, itemsize,
@@ -946,6 +985,7 @@ def _dx_bn_impl(dy, y, xp, w_dx, ds1, ds2, a_l, b_l, p, prologue):
                                            xp.dtype),
             scratch_shapes=scratch_shapes,
             interpret=common.interpret_mode(),
+            **_cparams(),
         )(dy, y, wp, ds1.reshape(1, -1), ds2.reshape(1, -1))
         zeros = jnp.zeros((out_lanes,), jnp.float32)
         return dxp.reshape(b, h, wg, out_lanes), zeros, zeros
@@ -975,6 +1015,7 @@ def _dx_bn_impl(dy, y, xp, w_dx, ds1, ds2, a_l, b_l, p, prologue):
             pltpu.VMEM((2, out_lanes), jnp.float32),
         ],
         interpret=common.interpret_mode(),
+        **_cparams(),
     )(dy, y, xb, wp, ds1.reshape(1, -1), ds2.reshape(1, -1),
       a_l.reshape(1, -1), b_l.reshape(1, -1))
     return dxp.reshape(b, h, wg, out_lanes), ds[0], ds[1]
@@ -1043,6 +1084,171 @@ def _dw_bn2_impl(xp, dy, y, ds1, ds2, c_in, a_l, b_l, p_force, prologue):
             pltpu.VMEM((3 * k, p * c_out), jnp.float32),
         ],
         interpret=common.interpret_mode(),
+        **_cparams(),
     )(xp, dyb, yb, a_l.reshape(1, -1), b_l.reshape(1, -1),
       ds1.reshape(1, -1), ds2.reshape(1, -1))
     return _fold_dw(_unperm_dw(dwp, c_in, lanes), p, c_in, c_out)
+
+
+# ---------------------------------------------------------------------------
+# Single-pass fused backward: dx + dW (+ BN/ReLU prologue backward) in
+# ONE kernel
+# ---------------------------------------------------------------------------
+#
+# The two-kernel backward above streams the (dy, y) pair from HBM twice
+# (once for the dx conv, once for the dW contraction) and forms the
+# stats-cotangent dy_eff twice.  At 512²/b8 that second (dy + y) stream
+# is ~268 MB of pure re-read per conv.  This kernel does the whole
+# backward per tile:
+#
+#   DMA dy, y (halo'd)          → dy_eff = dy + ds1 + 2·y·ds2  (once)
+#   DMA x (halo'd)
+#   dx   = conv(dy_eff, w_flip) pieces from the dy_eff scratch
+#   epilogue (prologue=True):   u = x·a+b from the RAW x rows, du =
+#        [u>0]·dx_acc, dxp = du·a, da/db accumulate; then the x scratch
+#        is prologue'd IN PLACE (t = relu(x·a+b)) for the dW pieces
+#   dW  += t_piecesᵀ @ dy_eff   into the f32 VMEM accumulator
+#
+# VMEM: three double-buffered halo scratches + both piece sets ≈ 3× a
+# single-pass kernel's footprint — it needs the raised Mosaic ceiling
+# (_VMEM_LIMIT via CompilerParams.vmem_limit_bytes); _pick_th_bwdf gates
+# on _VMEM_BUDGET_FUSED and the caller falls back to the two-kernel
+# backward when no tile fits.
+
+
+def _vmem_estimate_bwdf(th, wg, lanes, out_lanes, kdx, kdw, itemsize,
+                        prologue) -> int:
+    rows = th * wg
+    est = (2 * 2 * (th + 4) * wg * lanes * itemsize   # dy + y scratches
+           + 2 * (th + 4) * wg * out_lanes * itemsize  # x scratch
+           + (th + 4) * wg * lanes * 4                # f32 dy_eff temp
+           + 2 * 3 * kdx * out_lanes * itemsize       # W'(dx) block
+           + 2 * th * wg * out_lanes * itemsize       # dx out block
+           + 3 * rows * lanes * itemsize              # dx pieces
+           + 3 * rows * out_lanes * itemsize          # dW pieces
+           + rows * out_lanes * 4                     # f32 dx acc
+           + 2 * 3 * kdw * lanes * 4)                 # dW acc
+    if prologue:
+        est += 3 * rows * out_lanes * 4               # xb/u/du f32 temps
+    return est
+
+
+def _pick_th_bwdf(h, wg, lanes, out_lanes, kdx, kdw, itemsize,
+                  prologue) -> int:
+    if h <= 16:
+        th = h
+        if _vmem_estimate_bwdf(th, wg, lanes, out_lanes, kdx, kdw,
+                               itemsize, prologue) <= _VMEM_BUDGET_FUSED:
+            return th
+        return 0
+    th = min(h, max(8, (_ROW_TARGET // max(1, wg)) // 8 * 8))
+    while th >= 8:
+        if h % th == 0 and _vmem_estimate_bwdf(
+                th, wg, lanes, out_lanes, kdx, kdw, itemsize,
+                prologue) <= _VMEM_BUDGET_FUSED:
+            return th
+        th -= 8
+    return 0
+
+
+def _bwd_fused_kernel(dy_hbm, y_hbm, x_hbm, wdx_ref, s1_ref, s2_ref,
+                      a_ref, b_ref, dx_ref, ds_ref, dw_ref, sdy, syv,
+                      sx, semd, semy, semx, acc2, accw, *, nh, th, wg,
+                      lanes, out_lanes, kdx, kdw, c_in_dx, c_in,
+                      prologue):
+    slot = _wait_dma_nozero(dy_hbm, sdy, semd, nh=nh, th=th)
+    _wait_dma_nozero(y_hbm, syv, semy, nh=nh, th=th)
+    _wait_dma_nozero(x_hbm, sx, semx, nh=nh, th=th)
+    _dy_eff_tile(sdy, syv, slot, s1_ref, s2_ref, dy_hbm.dtype)
+    _zero_halo_rows(sdy, slot, nh=nh, th=th)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        accw[:] = jnp.zeros_like(accw)
+        acc2[:] = jnp.zeros_like(acc2)
+
+    # dx conv of dy_eff with the flipped kernel
+    vdy = sdy[slot].reshape((th + 4) * wg, lanes)
+    acc = _conv_dots(vdy, wdx_ref, th=th, wg=wg, lanes=lanes, k=kdx,
+                     c_in=c_in_dx, dtype=dy_hbm.dtype)
+    if prologue:
+        # the prologue chain's backward needs the RAW x rows — read them
+        # before the in-place prologue below rewrites the scratch to t
+        xb = sx[slot, 2:th + 2].reshape(
+            th * wg, out_lanes).astype(jnp.float32)
+        uu = xb * a_ref[:][0] + b_ref[:][0]
+        du = jnp.where(uu > 0, acc, 0.0)
+        dx_ref[0] = (du * a_ref[:][0]).reshape(
+            th, wg, out_lanes).astype(dx_ref.dtype)
+        acc2[0:1] += jnp.sum(du * xb, axis=0, keepdims=True)
+        acc2[1:2] += jnp.sum(du, axis=0, keepdims=True)
+        _apply_prologue(sx, slot, a_ref, b_ref, x_hbm.dtype)
+    else:
+        dx_ref[0] = acc.reshape(th, wg, out_lanes).astype(dx_ref.dtype)
+    _zero_halo_rows(sx, slot, nh=nh, th=th)
+
+    # dW contraction: t pieces vs the tile body of dy_eff
+    vx = sx[slot].reshape((th + 4) * wg, out_lanes)
+    dy2 = sdy[slot, 2:th + 2].reshape(th * wg, lanes)
+    _dw_accum(vx, dy2, accw, th=th, wg=wg, lanes=out_lanes, k=kdw,
+              c_in=c_in, dtype=x_hbm.dtype)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        dw_ref[:] = accw[:]
+        ds_ref[:] = acc2[:]
+
+
+def _bwd_fused_impl(dy, y, xp, w_dx, ds1, ds2, a_l, b_l, p, prologue,
+                    th):
+    """One-kernel backward: (dxp, da_l, db_l, dW[3,3,c_in,c_out] f32)."""
+    b, h, wg, lanes = dy.shape
+    c_in_dx = w_dx.shape[2]        # = forward c_out
+    c_in = w_dx.shape[-1]          # = forward c_in
+    out_lanes = p * c_in
+    kdx = (p + 2) * c_in_dx
+    kdw = (p + 2) * c_in
+    nh = h // th
+    wp = _pack_weights_v3(w_dx, p)
+    dxp, ds, dwp = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, nh=nh, th=th, wg=wg,
+                          lanes=lanes, out_lanes=out_lanes, kdx=kdx,
+                          kdw=kdw, c_in_dx=c_in_dx, c_in=c_in,
+                          prologue=prologue),
+        grid=(b * nh,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),              # dy
+            pl.BlockSpec(memory_space=pl.ANY),              # y
+            pl.BlockSpec(memory_space=pl.ANY),              # x
+            pl.BlockSpec((3 * kdx, out_lanes), lambda i: (0, 0)),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0)),     # ds1
+            pl.BlockSpec((1, lanes), lambda i: (0, 0)),     # ds2
+            pl.BlockSpec((1, out_lanes), lambda i: (0, 0)),  # a_l
+            pl.BlockSpec((1, out_lanes), lambda i: (0, 0)),  # b_l
+        ],
+        out_specs=(pl.BlockSpec((1, th, wg, out_lanes),
+                                lambda i: (i, 0, 0, 0)),
+                   pl.BlockSpec((2, out_lanes), lambda i: (0, 0)),
+                   pl.BlockSpec((3 * kdw, lanes), lambda i: (0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((b * nh, th, wg, out_lanes),
+                                        xp.dtype),
+                   jax.ShapeDtypeStruct((2, out_lanes), jnp.float32),
+                   jax.ShapeDtypeStruct((3 * kdw, lanes), jnp.float32)),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 4, wg, lanes), dy.dtype),
+            pltpu.VMEM((2, th + 4, wg, lanes), dy.dtype),
+            pltpu.VMEM((2, th + 4, wg, out_lanes), xp.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, out_lanes), jnp.float32),
+            pltpu.VMEM((3 * kdw, lanes), jnp.float32),
+        ],
+        interpret=common.interpret_mode(),
+        **_cparams(),
+    )(dy, y, xp, wp, ds1.reshape(1, -1), ds2.reshape(1, -1),
+      a_l.reshape(1, -1), b_l.reshape(1, -1))
+    c_out = lanes // p
+    dw = _fold_dw(_unperm_dw(dwp, c_in, out_lanes), p, c_in, c_out)
+    return (dxp.reshape(b, h, wg, out_lanes), ds[0], ds[1], dw)

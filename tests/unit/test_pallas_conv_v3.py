@@ -172,3 +172,65 @@ def test_flagship_levels_take_fused_backward():
                                      p, c_out, 2)
             assert th_dx > 0 and th_dw2 > 0, \
                 f"level{level} {c_in}->{c_out} fell off the fused backward"
+
+
+def test_one_pass_bwd_matches_two_pass():
+    """The opt-in single-pass dx+dW backward (CL_TPU_FUSE_BWD=1;
+    measured-negative at 512², kept for future tuning) must produce the
+    two-pass backward's gradients: same kernels' dot/cast discipline,
+    only the streaming fused."""
+    rng = np.random.RandomState(7)
+    b, h, wid, ci, co = 2, 16, 32, 8, 8
+    p = v3.pick_pack(ci, co)
+    wg = wid // p
+    x = jnp.asarray(rng.randn(b, h, wg, p * ci).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, ci, co).astype(np.float32) * 0.2)
+    a = jnp.asarray(rng.rand(p * ci).astype(np.float32) + 0.5)
+    bb = jnp.asarray(rng.randn(p * ci).astype(np.float32) * 0.1)
+
+    def f(x, w, a, bb):
+        y, s1, s2 = v3.conv_bn_fused(x, w, a, bb, p, True)
+        return jnp.sum(y * y) + jnp.sum(s1 * 0.3) + jnp.sum(s2 * 0.1)
+
+    prev = v3._FUSE_BWD
+    try:
+        v3._FUSE_BWD = True
+        assert v3._pick_th_bwdf(h, wg, p * co, p * ci, (p + 2) * co,
+                                (p + 2) * ci, 4, True) > 0
+        g_fused = jax.grad(f, argnums=(0, 1, 2, 3))(x, w, a, bb)
+        v3._FUSE_BWD = False
+        g_two = jax.grad(f, argnums=(0, 1, 2, 3))(x, w, a, bb)
+    finally:
+        v3._FUSE_BWD = prev
+    for u, v in zip(g_fused, g_two):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                   rtol=1e-5, atol=1e-4)
+
+
+def test_one_pass_bwd_no_prologue():
+    """prologue=False variant (level-entry convs): dx has no mask/da/db
+    epilogue and dW contracts raw x."""
+    rng = np.random.RandomState(8)
+    b, h, wid, ci, co = 1, 16, 32, 8, 8
+    p = v3.pick_pack(ci, co)
+    wg = wid // p
+    x = jnp.asarray(rng.randn(b, h, wg, p * ci).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, ci, co).astype(np.float32) * 0.2)
+    a = jnp.ones((p * ci,), jnp.float32)
+    bb = jnp.zeros((p * ci,), jnp.float32)
+
+    def f(x, w):
+        y, s1, s2 = v3.conv_bn_fused(x, w, a, bb, p, False)
+        return jnp.sum(y * y) + jnp.sum(s1) * 0.1
+
+    prev = v3._FUSE_BWD
+    try:
+        v3._FUSE_BWD = True
+        g_fused = jax.grad(f, argnums=(0, 1))(x, w)
+        v3._FUSE_BWD = False
+        g_two = jax.grad(f, argnums=(0, 1))(x, w)
+    finally:
+        v3._FUSE_BWD = prev
+    for u, v in zip(g_fused, g_two):
+        np.testing.assert_allclose(np.asarray(u), np.asarray(v),
+                                   rtol=1e-5, atol=1e-4)
