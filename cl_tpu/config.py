@@ -86,6 +86,12 @@ class ModelConfig:
     # 205 — XLA wins; 512²/32ch packed wins +31–62%). 0 forces packed
     # everywhere (tests / future shapes).
     packed_min_size: int = 256
+    # Fuse the encoder skip-cotangent add into the packed pool backward
+    # kernel (pool_pack.maxpool2x2_packed_tee): the pool input IS the
+    # skip tensor, so its cotangent is d_skip + route(d_pool); unfused,
+    # XLA materializes that add as a full-resolution HBM round-trip.
+    # Bit-identical results either way (tests/unit/test_packed_boundary).
+    pool_tee: bool = True
     # k=2/s=2 transposed-conv implementation: "xla" = nn.ConvTranspose;
     # "matmul" = one einsum + pixel shuffle with the SAME param tree (the
     # no-overlap case is a single tap per output pixel). Measured A/B at

@@ -621,6 +621,7 @@ class UNet(nn.Module):
     conv_impl: str = "xla"  # "pallas" = lane-packed kernel (DESIGN.md §8)
     upconv_impl: str = "xla"  # "xla" | "matmul" = einsum+pixel-shuffle
     packed: bool = False  # run leading levels fully lane-packed
+    pool_tee: bool = True  # fuse the skip-cotangent add into pool bwd
     dp_axis: str | None = None  # data-parallel shard_map axis: BN stats
     #                             psum over it (packed AND standard body)
 
@@ -668,7 +669,9 @@ class UNet(nn.Module):
         standard NHWC modules (same names — checkpoint-compatible), with
         pack/unpack conversions only at the (small) deep boundaries."""
         from cl_tpu.pallas import conv3x3_v3 as pc3
-        from cl_tpu.pallas.pool_pack import maxpool2x2_packed
+        from cl_tpu.pallas import pool_pack
+        from cl_tpu.pallas.pool_pack import (maxpool2x2_packed,
+                                             maxpool2x2_packed_tee)
         c = self.base_channels
         P = pc3.pick_pack(c, c)
         b = x.shape[0]
@@ -684,9 +687,17 @@ class UNet(nn.Module):
                 name=f"enc{level}")(x if level == 0 else xp, train=train)
             with jax.named_scope(f"eltwise{level}"):
                 zp = bn_relu_apply(yp, sc, sh, P)
-            skips_p.append(zp)
             with jax.named_scope(f"pool{level}"):
-                xp = maxpool2x2_packed(zp, feats)
+                # the skip is the pool input: the tee variant fuses the
+                # decoder's skip cotangent into the pool backward (one
+                # fewer full-resolution XLA add per level)
+                _, hh, gg, ll = zp.shape
+                if self.pool_tee and pool_pack.tee_supported(
+                        hh, gg, ll, feats, zp.dtype.itemsize):
+                    zs, xp = maxpool2x2_packed_tee(zp, feats)
+                else:
+                    zs, xp = zp, maxpool2x2_packed(zp, feats)
+            skips_p.append(zs)
 
         # deep region in NHWC (standard modules)
         h_deep = x.shape[1] // (2 ** prefix)

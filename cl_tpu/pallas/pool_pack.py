@@ -40,15 +40,17 @@ def supported(h, g, lanes, c, itemsize=2):
             and _pick_th(h, g, lanes, itemsize) > 0)
 
 
-def _pick_th(h, g, lanes, itemsize):
+def _pick_th(h, g, lanes, itemsize, units=10):
     """Output rows per grid tile (the input tile is 2× as tall)."""
     ho = h // 2
     th = min(ho, max(1, 2048 // max(1, g)))
     while th >= 1:
         if ho % th == 0:
             # bwd holds ~10 tile-sized temporaries (pair slices,
-            # selects, routed blocks) — budget generously
-            need = 10 * (2 * th * g * lanes + th * g * lanes) * itemsize
+            # selects, routed blocks) — budget generously; the tee
+            # variant carries the skip-cotangent input block on top
+            # (units=13)
+            need = units * (2 * th * g * lanes + th * g * lanes) * itemsize
             if need <= 10 * 1024 * 1024:
                 return th
         th -= 1
@@ -93,7 +95,16 @@ def _fwd_kernel(x_ref, y_ref, *, th, g, lanes, c):
         y_ref[0, :, :, gp * (lanes // 2):(gp + 1) * (lanes // 2)] = q
 
 
-def _bwd_kernel(x_ref, dy_ref, *refs, th, g, lanes, c):
+def _add_skip(val, ds_slice, out_dtype):
+    """Routed pool cotangent + skip cotangent, bit-identical to the
+    unfused path: round the routed value to the output dtype FIRST (the
+    plain kernel's store), then add in f32 and round once (XLA's add of
+    two bf16 operands is the exactly-rounded f32 sum)."""
+    v = val.astype(out_dtype).astype(jnp.float32)
+    return (v + ds_slice.astype(jnp.float32)).astype(out_dtype)
+
+
+def _bwd_kernel(x_ref, dy_ref, *refs, th, g, lanes, c, tee):
     """dx block is DECLARED with the interleave structure
     [1, th, 2(row phase), g/2, 2(group parity), lanes] so the routed
     quadrants are written as four plane STORES — the earlier
@@ -112,9 +123,24 @@ def _bwd_kernel(x_ref, dy_ref, *refs, th, g, lanes, c):
     accumulate reproduces the operand bits."""
     p = lanes // c
     dx_ref = refs[-1]
+    nm = 0
+    if tee:
+        # skip-cotangent input block, same shape/layout as x's; sliced
+        # per (row phase, group parity) to match each dx plane store
+        dsv = refs[0][0].reshape(th, 2, g, lanes)
+        ds = [dsv[:, r].reshape(th, g // 2, 2, lanes) for r in (0, 1)]
+        nm = 1
     v = x_ref[0].reshape(th, 2, g, lanes)
     r0, r1 = v[:, 0], v[:, 1]
     zero = jnp.zeros((), dy_ref.dtype)
+
+    def emit(rphase, par, val):
+        if tee:
+            val = _add_skip(val, ds[rphase][:, :, par], dy_ref.dtype)
+        else:
+            val = val.astype(dy_ref.dtype)
+        dx_ref[0, :, rphase, :, par] = val
+
     if p == 1:
         dy = dy_ref[0]                             # [th, G/2, L]
         v0 = r0.reshape(th, g // 2, 2, lanes)
@@ -126,12 +152,12 @@ def _bwd_kernel(x_ref, dy_ref, *refs, th, g, lanes, c):
         dbot = jnp.where(sel_row, zero, dy)
         s0 = _ge(v0[:, :, 0], v0[:, :, 1])
         s1 = _ge(v1[:, :, 0], v1[:, :, 1])
-        dx_ref[0, :, 0, :, 0] = jnp.where(s0, dtop, zero)
-        dx_ref[0, :, 0, :, 1] = jnp.where(s0, zero, dtop)
-        dx_ref[0, :, 1, :, 0] = jnp.where(s1, dbot, zero)
-        dx_ref[0, :, 1, :, 1] = jnp.where(s1, zero, dbot)
+        emit(0, 0, jnp.where(s0, dtop, zero))
+        emit(0, 1, jnp.where(s0, zero, dtop))
+        emit(1, 0, jnp.where(s1, dbot, zero))
+        emit(1, 1, jnp.where(s1, zero, dbot))
         return
-    swap_ref, b0_ref, b1_ref = refs[0], refs[1], refs[2]
+    swap_ref, b0_ref, b1_ref = refs[nm], refs[nm + 1], refs[nm + 2]
 
     def lane_dot(a, m_ref):
         flat = a.reshape(th * a.shape[1], lanes)
@@ -171,8 +197,8 @@ def _bwd_kernel(x_ref, dy_ref, *refs, th, g, lanes, c):
     for gp, b_ref in ((0, b0_ref), (1, b1_ref)):   # input group parity
         e = lane_dot(dy, b_ref)                    # dy at both partners
         rs, c0, c1 = vr[:, :, gp], vc0[:, :, gp], vc1[:, :, gp]
-        dx_ref[0, :, 0, :, gp] = (e * rs * c0).astype(dy.dtype)
-        dx_ref[0, :, 1, :, gp] = (e * (one - rs) * c1).astype(dy.dtype)
+        emit(0, gp, e * rs * c0)
+        emit(1, gp, e * (one - rs) * c1)
 
 
 def _routing_mats(lanes, c, dtype):
@@ -220,9 +246,11 @@ def _fwd(xp, c):
     return y.reshape(b, ho, g // 2, lanes), xp
 
 
-def _bwd(c, xp, dy):
+def _bwd_impl(c, xp, dy, ds=None):
     b, h, g, lanes = xp.shape
-    th = _pick_th(h, g, lanes, xp.dtype.itemsize)
+    tee = ds is not None
+    th = _pick_th(h, g, lanes, xp.dtype.itemsize,
+                  units=13 if tee else 10)
     ho = h // 2
     nh = ho // th
     dy = dy.astype(xp.dtype)
@@ -230,17 +258,24 @@ def _bwd(c, xp, dy):
                              lambda i: (i, 0, 0, 0)),
                 pl.BlockSpec((1, th, g // 2, lanes),
                              lambda i: (i, 0, 0, 0))]
-    extra = ()
+    operands = [xp.reshape(b * nh, 2 * th, g, lanes),
+                dy.reshape(b * nh, th, g // 2, lanes)]
+    if tee:
+        in_specs.append(pl.BlockSpec((1, 2 * th, g, lanes),
+                                     lambda i: (i, 0, 0, 0)))
+        operands.append(ds.astype(xp.dtype)
+                        .reshape(b * nh, 2 * th, g, lanes))
     if lanes // c >= 2:
         # lane-routing constants for the MXU dots (see _bwd_kernel);
         # every grid step reads the same [L, L] block.
-        extra = _routing_mats(lanes, c, xp.dtype)
+        operands += list(_routing_mats(lanes, c, xp.dtype))
         in_specs += [pl.BlockSpec((lanes, lanes), lambda i: (0, 0))] * 3
     # out block carries the interleave structure (row phase, group
     # parity) as its own dims — the flat view is the same linear order,
     # so the final reshape is free (see _bwd_kernel docstring).
     dx = pl.pallas_call(
-        functools.partial(_bwd_kernel, th=th, g=g, lanes=lanes, c=c),
+        functools.partial(_bwd_kernel, th=th, g=g, lanes=lanes, c=c,
+                          tee=tee),
         grid=(b * nh,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, th, 2, g // 2, 2, lanes),
@@ -248,9 +283,44 @@ def _bwd(c, xp, dy):
         out_shape=jax.ShapeDtypeStruct((b * nh, th, 2, g // 2, 2, lanes),
                                        xp.dtype),
         interpret=common.interpret_mode(),
-    )(xp.reshape(b * nh, 2 * th, g, lanes),
-      dy.reshape(b * nh, th, g // 2, lanes), *extra)
-    return (dx.reshape(b, h, g, lanes),)
+    )(*operands)
+    return dx.reshape(b, h, g, lanes)
+
+
+def _bwd(c, xp, dy):
+    return (_bwd_impl(c, xp, dy),)
 
 
 maxpool2x2_packed.defvjp(_fwd, _bwd)
+
+
+def tee_supported(h, g, lanes, c, itemsize=2):
+    """Shape gate for the fused-skip variant (bigger VMEM footprint)."""
+    return (supported(h, g, lanes, c, itemsize)
+            and _pick_th(h, g, lanes, itemsize, units=13) > 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def maxpool2x2_packed_tee(xp, c):
+    """Pool + skip tee: ``(skip, pooled) = (xp, maxpool(xp))``.
+
+    In the UNet encoder the pool input IS the skip tensor, so its
+    cotangent is ``d_skip + route(d_pool)``; the plain kernel leaves
+    that add to XLA (an extra HBM round-trip over the full-resolution
+    tensor — 0.6 ms at the 512² level). This variant routes d_pool and
+    adds d_skip inside the backward kernel, bit-identical to the
+    unfused path (see ``_add_skip``)."""
+    return xp, _fwd(xp, c)[0]
+
+
+def _tee_fwd(xp, c):
+    y, res = _fwd(xp, c)
+    return (xp, y), res
+
+
+def _tee_bwd(c, xp, cots):
+    ds, dy = cots
+    return (_bwd_impl(c, xp, dy, ds),)
+
+
+maxpool2x2_packed_tee.defvjp(_tee_fwd, _tee_bwd)

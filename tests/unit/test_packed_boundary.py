@@ -63,6 +63,61 @@ def test_pool_grad_routing_matches_select_and_scatter(p, c):
     np.testing.assert_array_equal(np.asarray(gp), np.asarray(go))
 
 
+@pytest.mark.parametrize("p,c", [(4, 32), (2, 64), (1, 128)])
+def test_pool_tee_grad_matches_oracle(p, c):
+    """(skip, pooled) tee: grad through BOTH outputs equals the plain
+    composition (skip used directly + nn.max_pool), exactly (f32)."""
+    b, g, h = 1, 16, 8
+    lanes = p * c
+    w = g * p
+    base = np.random.RandomState(5).randint(0, 3, (b, h, w, c))
+    x = jnp.asarray(base.astype(np.float32))
+    xp = x.reshape(b, h, g, lanes)
+    cot = _rand((b, h // 2, w // 2, c), seed=6)
+    cot2 = _rand((b, h, w, c), seed=7)
+    assert pool_pack.tee_supported(h, g, lanes, c, 4)
+
+    def loss_p(xp):
+        s, yp = pool_pack.maxpool2x2_packed_tee(xp, c)
+        return (jnp.sum(yp.reshape(cot.shape) * cot)
+                + jnp.sum(s.reshape(x.shape) * cot2))
+
+    def loss_o(x):
+        return (jnp.sum(_pool_oracle(x) * cot) + jnp.sum(x * cot2))
+
+    gp = jax.grad(loss_p)(xp).reshape(x.shape)
+    go = jax.grad(loss_o)(x)
+    np.testing.assert_array_equal(np.asarray(gp), np.asarray(go))
+
+
+@pytest.mark.parametrize("p,c", [(4, 32), (1, 128)])
+def test_pool_tee_bf16_bit_identical_to_unfused(p, c):
+    """bf16: the in-kernel skip add rounds exactly like the unfused
+    path (plain pool kernel store + XLA bf16 add)."""
+    b, g, h = 1, 16, 8
+    lanes = p * c
+    w = g * p
+    x = _rand((b, h, w, c), jnp.bfloat16, seed=8)
+    xp = x.reshape(b, h, g, lanes)
+    cot = _rand((b, h // 2, g // 2, lanes), jnp.bfloat16, seed=9)
+    cot2 = _rand((b, h, g, lanes), jnp.bfloat16, seed=10)
+
+    def loss_tee(xp):
+        s, yp = pool_pack.maxpool2x2_packed_tee(xp, c)
+        return jnp.sum((yp * cot).astype(jnp.float32)) + \
+            jnp.sum((s * cot2).astype(jnp.float32))
+
+    def loss_plain(xp):
+        yp = pool_pack.maxpool2x2_packed(xp, c)
+        return jnp.sum((yp * cot).astype(jnp.float32)) + \
+            jnp.sum((xp * cot2).astype(jnp.float32))
+
+    gt = jax.grad(loss_tee)(xp)
+    gu = jax.grad(loss_plain)(xp)
+    np.testing.assert_array_equal(
+        np.asarray(gt, np.float32), np.asarray(gu, np.float32))
+
+
 def _upconv_oracle(x, k, bias):
     import flax.linen as nn
 
