@@ -636,11 +636,14 @@ class UNet(nn.Module):
         module is not visited then; its params still exist in the tree
         (created at init, trained through the fused kernel's VJP).
 
-        ``packed_features=True`` (with ``return_features``) keeps the
-        packed body's output on its lane-packed view [B,H,G,p·C] — the
-        operand of ``head_ce.head_cross_entropy_packed`` — skipping the
-        unpack relayout; the caller detects the view from the lane
-        width.  No-op when the packed body didn't engage."""
+        ``packed_features=True`` (with ``return_features``) returns the
+        packed body's RAW lane-packed output plus its deferred BN
+        vectors, ``(y [B,H,G,p·C], scale [C], shift [C])`` — the operands
+        of ``head_ce.head_cross_entropy_packed_bn``, which applies the
+        final BN·ReLU in-kernel — skipping both the eltwise_out
+        materialization and the unpack relayout; the caller detects
+        engagement from the tuple. No-op (plain NHWC features) when the
+        packed body didn't engage."""
         c = self.base_channels
         x = x.astype(self.dtype)
 
@@ -745,10 +748,14 @@ class UNet(nn.Module):
                 feats, feats, P, mode="split", dtype=self.dtype,
                 dp_axis=self.dp_axis,
                 name=f"dec{level}")((skips_p[level], up_p), train=train)
+        if keep_packed:
+            # raw last-conv output + its deferred BN vectors: the fused
+            # head+CE kernel applies relu(xp·scale+shift) in VMEM
+            # (head_ce.head_cross_entropy_packed_bn) — the eltwise_out
+            # materialization pass disappears from the step
+            return xp, dec_sc, dec_sh       # [B, H, G, P·c] packed view
         with jax.named_scope("eltwise_out"):
             z0 = bn_relu_apply(xp, dec_sc, dec_sh, P)
-        if keep_packed:
-            return z0                       # [B, H, G, P·c] packed view
         return z0.reshape(b, x.shape[1], x.shape[2], c)
 
     def _standard_body(self, x, *, train):

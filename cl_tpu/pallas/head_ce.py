@@ -422,6 +422,224 @@ def _head_ce_packed_bwd(ignore_index, p, res, gcot):
 _head_ce_packed_total.defvjp(_head_ce_packed_fwd, _head_ce_packed_bwd)
 
 
+# ---------------------------------------------------------------------------
+# BN·ReLU prologue variant: consume the packed body's RAW last-conv output
+# ---------------------------------------------------------------------------
+#
+# The packed UNet's final level defers its BatchNorm: it returns raw conv
+# sums plus per-channel (scale, shift) vectors, and a separate eltwise
+# kernel materializes z = relu(y·s + t) for the head (`eltwise_out`,
+# ~1.0 ms/step at 512²/b8 — pure HBM round-trip, DESIGN.md §8).  These
+# kernels apply that affine+ReLU in VMEM as a prologue instead, so z
+# never exists in HBM.  Bit-compat with the unfused composition: z is
+# computed in f32 and ROUNDED to the feature dtype before the logit dot
+# (the eltwise kernel's store), and the backward rounds the feature
+# cotangent to the feature dtype before the mask·scale (the unfused head
+# kernel's dx store), so loss, dfeat, dW and db match the
+# eltwise-then-head composition bit-for-bit; dscale/dshift agree to
+# 1 f32 ulp (same colsum math, different surrounding kernel — XLA may
+# reassociate the lane reduction) (tests/unit/test_pallas.py).
+# The scale/shift cotangents use the eltwise VJP's math:
+#     du = [t > 0]·dz,   dy = du·s,   ds_l = Σ du·y,   dt_l = Σ du.
+
+
+def _pkbn_fwd_kernel(ignore_index, p, x_ref, s_ref, t_ref, wt_ref, b_ref,
+                     lbl_ref, valid_ref, out_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[0, 0] = jnp.float32(0.0)
+
+    cin = x_ref.shape[-1] // p
+    zf = jnp.maximum(
+        x_ref[...].astype(jnp.float32) * s_ref[0] + t_ref[0], 0.0)
+    xcm = _cm_from_packed(zf.astype(x_ref.dtype), p, cin)
+    z = _cm_logits(xcm, wt_ref, b_ref, valid_ref)
+    m = jnp.max(z, axis=0, keepdims=True)
+    logz = m + jnp.log(jnp.sum(jnp.exp(z - m), axis=0, keepdims=True))
+    lbl = lbl_ref[:]
+    pix = (lbl != ignore_index).astype(jnp.float32)
+    lbl0 = jnp.where(lbl == ignore_index, 0, lbl)
+    row = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+    picked = jnp.sum(jnp.where(row == lbl0, z, 0.0), axis=0, keepdims=True)
+    out_ref[0, 0] += jnp.sum((logz - picked) * pix)
+
+
+def _pkbn_bwd_kernel(ignore_index, p, x_ref, s_ref, t_ref, wt_ref, w_ref,
+                     b_ref, lbl_ref, valid_ref, scale_ref, dx_ref,
+                     dst_ref, dw_ref, db_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dst_ref[:] = jnp.zeros_like(dst_ref)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    cin = x_ref.shape[-1] // p
+    tn = x_ref.shape[0]
+    yf = x_ref[...].astype(jnp.float32)
+    t = yf * s_ref[0] + t_ref[0]
+    zf = jnp.maximum(t, 0.0)
+    xcm = _cm_from_packed(zf.astype(x_ref.dtype), p, cin)
+    z = _cm_logits(xcm, wt_ref, b_ref, valid_ref)
+    m = jnp.max(z, axis=0, keepdims=True)
+    e = jnp.exp(z - m)
+    prob = e / jnp.sum(e, axis=0, keepdims=True)
+    lbl = lbl_ref[:]
+    pix = (lbl != ignore_index).astype(jnp.float32)
+    lbl0 = jnp.where(lbl == ignore_index, 0, lbl)
+    row = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+    onehot = (row == lbl0).astype(jnp.float32)
+    g = scale_ref[0, 0] * pix * (prob - onehot)
+    g = jnp.where(valid_ref[:] > 0, g, 0.0)
+    gc = g.astype(x_ref.dtype)
+    dzcm = jax.lax.dot_general(
+        w_ref[:].astype(gc.dtype), gc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # rounding parity: the unfused head stores dz in the feature dtype
+    dz = (_packed_from_cm(dzcm, p, tn).astype(x_ref.dtype)
+          .astype(jnp.float32))
+    du = jnp.where(t > 0, dz, 0.0)
+    dx_ref[...] = (du * s_ref[0]).astype(dx_ref.dtype)
+    dst_ref[0:1, :] += common.colsum(du * yf)
+    dst_ref[1:2, :] += common.colsum(du)
+    dw_ref[:] += jax.lax.dot_general(
+        gc, xcm, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_ref[:] += jnp.sum(g, axis=1, keepdims=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def _head_ce_packed_bn_total(features, scale, shift, w2, b, labels,
+                             valid_classes, ignore_index, p):
+    """UNNORMALIZED sum NLL on the RAW packed view with the deferred
+    BN·ReLU applied in-kernel (scale/shift are per-channel [C_in];
+    lane-tiling and the p-fold of their cotangents live inside this VJP
+    so both match ``bn_relu_packed``'s exactly)."""
+    return _head_ce_packed_bn_fwd(features, scale, shift, w2, b, labels,
+                                  valid_classes, ignore_index, p)[0]
+
+
+def _head_ce_packed_bn_fwd(features, scale, shift, w2, b, labels,
+                           valid_classes, ignore_index, p):
+    C = valid_classes.shape[0]
+    lanes = features.shape[-1]
+    cin = lanes // p
+    s_l, t_l = jnp.tile(scale, p), jnp.tile(shift, p)
+    x2, lbl, n, tn = _pkcm_prep(features, labels, p)
+    valid = valid_classes.astype(jnp.float32)[:, None]
+    total = pl.pallas_call(
+        functools.partial(_pkbn_fwd_kernel, int(ignore_index), p),
+        grid=(n // tn,),
+        in_specs=[
+            pl.BlockSpec((tn, lanes), lambda i: (i, 0)),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+            pl.BlockSpec((C, cin), lambda i: (0, 0)),
+            pl.BlockSpec((C, 1), lambda i: (0, 0)),
+            pl.BlockSpec((1, tn * p), lambda i: (0, i)),
+            pl.BlockSpec((C, 1), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        interpret=common.interpret_mode(),
+    )(x2, s_l.reshape(1, -1), t_l.reshape(1, -1), w2.T, b[:, None], lbl,
+      valid)[0, 0]
+    return total, (features, scale, shift, w2, b, labels, valid_classes)
+
+
+def _head_ce_packed_bn_bwd(ignore_index, p, res, gcot):
+    features, scale, shift, w2, b, labels, valid_classes = res
+    C = valid_classes.shape[0]
+    lanes = features.shape[-1]
+    cin = lanes // p
+    s_l, t_l = jnp.tile(scale, p), jnp.tile(shift, p)
+    x2, lbl, n, tn = _pkcm_prep(features, labels, p)
+    valid = valid_classes.astype(jnp.float32)[:, None]
+    scale = jnp.full((1, 1), gcot, jnp.float32)
+    dx, dst, dwt, db = pl.pallas_call(
+        functools.partial(_pkbn_bwd_kernel, int(ignore_index), p),
+        grid=(n // tn,),
+        in_specs=[
+            pl.BlockSpec((tn, lanes), lambda i: (i, 0)),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+            pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+            pl.BlockSpec((C, cin), lambda i: (0, 0)),
+            pl.BlockSpec((cin, C), lambda i: (0, 0)),
+            pl.BlockSpec((C, 1), lambda i: (0, 0)),
+            pl.BlockSpec((1, tn * p), lambda i: (0, i)),
+            pl.BlockSpec((C, 1), lambda i: (0, 0)),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(pl.BlockSpec((tn, lanes), lambda i: (i, 0)),
+                   pl.BlockSpec((2, lanes), lambda i: (0, 0)),
+                   pl.BlockSpec((C, cin), lambda i: (0, 0)),
+                   pl.BlockSpec((C, 1), lambda i: (0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((n, lanes), features.dtype),
+                   jax.ShapeDtypeStruct((2, lanes), jnp.float32),
+                   jax.ShapeDtypeStruct((C, cin), jnp.float32),
+                   jax.ShapeDtypeStruct((C, 1), jnp.float32)),
+        interpret=common.interpret_mode(),
+    )(x2, s_l.reshape(1, -1), t_l.reshape(1, -1), w2.T, w2, b[:, None],
+      lbl, valid, scale)
+    dfeat = dx.reshape(features.shape)
+    dscale = dst[0].reshape(p, cin).sum(0)
+    dshift = dst[1].reshape(p, cin).sum(0)
+    return (dfeat, dscale, dshift, dwt.T, db[:, 0],
+            np.zeros(labels.shape, jax.dtypes.float0),
+            np.zeros(valid_classes.shape, jax.dtypes.float0))
+
+
+_head_ce_packed_bn_total.defvjp(_head_ce_packed_bn_fwd,
+                                _head_ce_packed_bn_bwd)
+
+
+def _bn_head_args(head_kernel, head_bias, valid_classes):
+    cin = head_kernel.shape[-2] if head_kernel.ndim == 4 else \
+        head_kernel.shape[0]
+    width = head_kernel.shape[-1]
+    C = valid_classes.shape[0]
+    w2 = head_kernel.reshape(cin, width)
+    if width != C:
+        w2 = jnp.pad(w2, ((0, 0), (0, C - width)))
+        head_bias = jnp.pad(head_bias, (0, C - width))
+    return w2, head_bias
+
+
+def head_cross_entropy_packed_bn(features_raw, scale, shift, head_kernel,
+                                 head_bias, labels, valid_classes, *, p,
+                                 ignore_index=255):
+    """Fused BN·ReLU + head + CE on the packed body's RAW output
+    [B,H,G,p·Cin] with its deferred per-channel (scale, shift) — equals
+    ``head_cross_entropy_packed(bn_relu_packed(raw, scale, shift, p), …)``
+    bit-for-bit, without materializing z (oracle-equality tested)."""
+    w2, hb = _bn_head_args(head_kernel, head_bias, valid_classes)
+    n = _n_pix(labels, ignore_index)
+    total = _head_ce_packed_bn_total(features_raw, scale, shift, w2, hb,
+                                     labels, valid_classes,
+                                     int(ignore_index), p)
+    return total / n, n
+
+
+def head_cross_entropy_packed_bn_sharded(features_raw, scale, shift,
+                                         head_kernel, head_bias, labels,
+                                         valid_classes, *, p, axis,
+                                         ignore_index=255):
+    """Batch-sharded :func:`head_cross_entropy_packed_bn` for use inside
+    ``jax.shard_map`` (mirrors :func:`head_cross_entropy_packed_sharded`;
+    scale/shift are replicated — the packed DP body psums BN stats)."""
+    w2, hb = _bn_head_args(head_kernel, head_bias, valid_classes)
+    total = _head_ce_packed_bn_total(features_raw, scale, shift, w2, hb,
+                                     labels, valid_classes,
+                                     int(ignore_index), p)
+    n_local = (labels != ignore_index).sum().astype(jnp.float32)
+    total = jax.lax.psum(total, axis)
+    n = jnp.maximum(jax.lax.psum(n_local, axis), 1.0)
+    return total / n, n
 
 
 def head_cross_entropy_packed(features, head_kernel, head_bias, labels,

@@ -183,9 +183,25 @@ def packed_dp_apply_fn(cfg: Config, mesh, model: UNet) -> Callable:
                                **kw)
             return m.apply(variables, x, train=train, **kw)
 
+        # Output structure varies: logits / NHWC features are one
+        # batch-sharded array, but when the packed body engages with
+        # packed_features the model returns (raw, scale, shift) — raw
+        # batch-sharded, the deferred-BN vectors replicated (their stats
+        # are psum'd).  Mirror UNet.__call__'s own static engagement
+        # gate (same inputs) to pick the matching out_specs.
+        from cl_tpu.models.unet import packed_prefix
+
+        feat_tuple = False
+        if (kw.get("return_features") and kw.get("packed_features")
+                and m.packed and m.norm == "batch"
+                and x.shape[1] == x.shape[2]):
+            feat_tuple = packed_prefix(
+                x.shape[1], m.base_channels, m.depth,
+                jnp.dtype(m.dtype).itemsize) > 0
+        out = (P(ax), P(), P()) if feat_tuple else P(ax)
         fn = jax.shard_map(
             local, mesh=mesh, in_specs=(P(), P(ax)),
-            out_specs=(P(ax), P()) if mut else P(ax),
+            out_specs=(out, P()) if mut else out,
             # batch-stat updates are computed from psum'd sums, hence
             # replicated; pallas calls carry no varying-axes annotation.
             check_vma=False)
@@ -251,12 +267,13 @@ def make_train_step(cfg: Config, model: UNet, tx,
 
             _Ppk = _ppk(cfg.model.base_channels, cfg.model.base_channels)
             head_ce_packed_sharded = jax.shard_map(
-                lambda ft, hw, hb, lb, v:
-                head_pallas_s.head_cross_entropy_packed_sharded(
-                    ft, hw, hb, lb, v, p=_Ppk, axis=sharding.DATA_AXIS,
+                lambda ft, sc, sh, hw, hb, lb, v:
+                head_pallas_s.head_cross_entropy_packed_bn_sharded(
+                    ft, sc, sh, hw, hb, lb, v, p=_Ppk,
+                    axis=sharding.DATA_AXIS,
                     ignore_index=cfg.data.ignore_index),
                 mesh=mesh,
-                in_specs=(P(sharding.DATA_AXIS), P(), P(),
+                in_specs=(P(sharding.DATA_AXIS), P(), P(), P(), P(),
                           P(sharding.DATA_AXIS), P()),
                 out_specs=(P(), P()), check_vma=False)
     if use_pallas and mesh is not None:
@@ -357,16 +374,18 @@ def make_train_step(cfg: Config, model: UNet, tx,
                                             features=True)
                 hk, hb = params["head"]["kernel"], params["head"]["bias"]
                 from cl_tpu.pallas import head_ce as head_pallas
-                # the packed body returns its lane-packed view when it
-                # engaged — detected from the lane width
-                pk = (feats.shape[-1] != cfg.model.base_channels)
+                # the packed body returns (raw, scale, shift) when it
+                # engaged; the BN·ReLU prologue runs inside the kernel
+                pk = isinstance(feats, tuple)
                 if pk and head_ce_packed_sharded is not None:
-                    ce, n_pix = head_ce_packed_sharded(feats, hk, hb, y,
-                                                       valid_classes)
+                    raw, f_sc, f_sh = feats
+                    ce, n_pix = head_ce_packed_sharded(
+                        raw, f_sc, f_sh, hk, hb, y, valid_classes)
                 elif pk:
-                    ce, n_pix = head_pallas.head_cross_entropy_packed(
-                        feats, hk, hb, y, valid_classes,
-                        p=feats.shape[-1] // cfg.model.base_channels,
+                    raw, f_sc, f_sh = feats
+                    ce, n_pix = head_pallas.head_cross_entropy_packed_bn(
+                        raw, f_sc, f_sh, hk, hb, y, valid_classes,
+                        p=raw.shape[-1] // cfg.model.base_channels,
                         ignore_index=d.ignore_index)
                 elif head_ce_sharded is not None:
                     ce, n_pix = head_ce_sharded(feats, hk, hb, y,

@@ -505,3 +505,86 @@ def test_head_ce_packed_more_classes_than_cin():
     for r, g in zip(g_ref, g_got):
         np.testing.assert_allclose(np.asarray(g).reshape(r.shape),
                                    np.asarray(r), rtol=1e-4, atol=1e-6)
+
+
+def test_head_ce_packed_bn_matches_composition():
+    """BN·ReLU-prologue packed head+CE == bn_relu_packed then the plain
+    packed head+CE, bit-for-bit (loss AND all five gradients) — the
+    in-kernel prologue rounds z to the feature dtype exactly where the
+    materialized eltwise kernel stores it."""
+    from cl_tpu.pallas import head_ce
+    from cl_tpu.pallas.packed_eltwise import bn_relu_packed
+
+    feats, kern, bias, labels, valid = _head_fixture(seed=31)
+    rng = np.random.RandomState(31)
+    cin = feats.shape[-1]
+    p = 128 // cin
+    b, h, w, _ = feats.shape
+    fp = feats.reshape(b, h, w // p, p * cin)
+    scale = jnp.asarray(rng.randn(cin).astype(np.float32))
+    shift = jnp.asarray((rng.randn(cin) * 0.1).astype(np.float32))
+
+    def f_ref(f, sc, sh, k, bb):
+        z = bn_relu_packed(f, sc, sh, p)
+        return head_ce.head_cross_entropy_packed(z, k, bb, labels,
+                                                 valid, p=p)[0]
+
+    def f_bn(f, sc, sh, k, bb):
+        return head_ce.head_cross_entropy_packed_bn(
+            f, sc, sh, k, bb, labels, valid, p=p)[0]
+
+    args = (fp, scale, shift, kern, bias)
+    ref = f_ref(*args)
+    got = f_bn(*args)
+    assert float(got) == float(ref)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    g_got = jax.grad(f_bn, argnums=(0, 1, 2, 3, 4))(*args)
+    # dfeat/dkern/dbias are bit-equal; the BN-vector grads may differ by
+    # 1 f32 ulp (the same colsum math compiles inside a different kernel,
+    # so XLA may reassociate the lane reduction differently).
+    for name, r, g in zip(("dfeat", "dkern", "dbias"),
+                          (g_ref[0], g_ref[3], g_ref[4]),
+                          (g_got[0], g_got[3], g_got[4])):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r),
+                                      err_msg=name)
+    for name, r, g in zip(("dscale", "dshift"), g_ref[1:3], g_got[1:3]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-6, atol=1e-9, err_msg=name)
+
+
+def test_head_ce_packed_bn_bf16_and_grow():
+    """bf16 features + grow-mode head width < classes through the BN
+    prologue variant."""
+    from cl_tpu.pallas import head_ce
+    from cl_tpu.pallas.packed_eltwise import bn_relu_packed
+
+    feats, kern, bias, labels, valid = _head_fixture(seed=32, width=6)
+    rng = np.random.RandomState(32)
+    cin = feats.shape[-1]
+    p = 128 // cin
+    b, h, w, _ = feats.shape
+    fp = feats.astype(jnp.bfloat16).reshape(b, h, w // p, p * cin)
+    scale = jnp.asarray(rng.randn(cin).astype(np.float32))
+    shift = jnp.asarray((rng.randn(cin) * 0.1).astype(np.float32))
+
+    def f_ref(f, sc, sh, k, bb):
+        z = bn_relu_packed(f, sc, sh, p)
+        return head_ce.head_cross_entropy_packed(z, k, bb, labels,
+                                                 valid, p=p)[0]
+
+    def f_bn(f, sc, sh, k, bb):
+        return head_ce.head_cross_entropy_packed_bn(
+            f, sc, sh, k, bb, labels, valid, p=p)[0]
+
+    args = (fp, scale, shift, kern, bias)
+    assert float(f_bn(*args)) == float(f_ref(*args))
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2, 3))(*args)
+    g_got = jax.grad(f_bn, argnums=(0, 1, 2, 3))(*args)
+    for name, r, g in zip(("dfeat", "dkern"), (g_ref[0], g_ref[3]),
+                          (g_got[0], g_got[3])):
+        np.testing.assert_array_equal(
+            np.asarray(g).astype(np.float32),
+            np.asarray(r).astype(np.float32), err_msg=name)
+    for name, r, g in zip(("dscale", "dshift"), g_ref[1:3], g_got[1:3]):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-6, atol=1e-9, err_msg=name)
