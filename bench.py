@@ -114,6 +114,45 @@ def _arm_method_state(cfg, state, model):
     return state
 
 
+def _note(msg: str) -> None:
+    """Progress marker on stderr (flushed) — the measured run can take
+    minutes through the device relay; these make a stalled relay
+    distinguishable from a slow compile in driver logs."""
+    print(f"# bench: {msg}", file=sys.stderr, flush=True)
+
+
+def _probe_device(warn_after: float = 90.0) -> None:
+    """Round-trip one tiny matmul before the real benchmark.
+
+    The axon relay has been observed (2026-08-20) in a state where
+    dispatch succeeds but result READBACK hangs forever; without this
+    probe the benchmark just sits silent. The probe runs in a daemon
+    thread and the main thread prints an escalating stderr warning while
+    it hasn't returned, so the driver log shows exactly what is wrong."""
+    import threading
+
+    import jax
+    import jax.numpy as jnp
+
+    done = threading.Event()
+
+    def _run():
+        x = jnp.ones((128, 128), jnp.float32)
+        float(jax.jit(lambda a: (a @ a).sum())(x))
+        done.set()
+
+    t = threading.Thread(target=_run, daemon=True)
+    t0 = time.perf_counter()
+    t.start()
+    waited = 0.0
+    while not done.wait(timeout=warn_after):
+        waited += warn_after
+        _note(f"device probe readback still pending after {waited:.0f}s — "
+              "the TPU relay is accepting dispatches but not returning "
+              "results; benchmark will proceed when it recovers")
+    _note(f"device probe ok ({time.perf_counter() - t0:.1f}s)")
+
+
 def bench_jax(img: int, src: int, batch: int, methods: bool,
               conv_impl: str = "xla", packed: bool = True) -> float:
     import numpy as np
@@ -144,10 +183,12 @@ def bench_jax(img: int, src: int, batch: int, methods: bool,
     dev = [pipeline.HostBatch(jnp.asarray(b.image), jnp.asarray(b.mask),
                               jnp.asarray(b.flip)) for b in host]
 
+    _note("per-step program: compile + warmup")
     for i in range(WARMUP):
         state, aux = step(state, dev[i % len(dev)], valid)
     float(aux["loss"])  # host fetch = the only reliable sync through the
     #                     axon relay (block_until_ready returns early there)
+    _note("warmup done")
 
     # ONE dispatch for the whole measured run (lax.scan over pre-staged
     # batches) — the ladder's production mode (data.epoch_scan=true; one
@@ -173,8 +214,10 @@ def bench_jax(img: int, src: int, batch: int, methods: bool,
             return st, aux["loss"]
         return jax.lax.scan(f, state, jnp.arange(STEPS))
 
+    _note("scan program: compile + warm run")
     state2, losses = run_scan(state)   # compile + warm
     float(losses[-1])
+    _note("measuring")
     t0 = time.perf_counter()
     state2, losses = run_scan(state)
     float(losses[-1])
@@ -259,6 +302,7 @@ def main() -> int:
     # deterministic failures (OOM, shape errors) surface immediately.
     _TRANSIENT = ("FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED",
                   "INTERNAL")
+    _probe_device()
     try:
         value = bench_jax(img, src, batch, methods, conv_impl, packed)
     except Exception as e:
