@@ -114,6 +114,45 @@ def _arm_method_state(cfg, state, model):
     return state
 
 
+LAST_VERIFIED = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "benchmarks", "last_verified_bench.json")
+
+
+def _git_rev() -> str:
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
+def _read_last_verified(metric: str):
+    """Most recent successfully-measured value for this metric (or null) —
+    included in the structured-error line so a wedged-relay round still
+    carries the last real number and the rev it was measured at."""
+    try:
+        with open(LAST_VERIFIED) as f:
+            return json.load(f).get(metric)
+    except Exception:
+        return None
+
+
+def _write_last_verified(metric: str, value: float) -> None:
+    rec = {}
+    try:
+        with open(LAST_VERIFIED) as f:
+            rec = json.load(f)
+    except Exception:
+        pass
+    rec[metric] = {"value": value, "rev": _git_rev(),
+                   "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+    with open(LAST_VERIFIED, "w") as f:
+        json.dump(rec, f, indent=1)
+
+
 def _note(msg: str) -> None:
     """Progress marker on stderr (flushed) — the measured run can take
     minutes through the device relay; these make a stalled relay
@@ -121,25 +160,38 @@ def _note(msg: str) -> None:
     print(f"# bench: {msg}", file=sys.stderr, flush=True)
 
 
-def _probe_device(warn_after: float = 90.0) -> None:
+class RelayWedgedError(RuntimeError):
+    """The device relay accepted a dispatch but never returned the result."""
+
+
+def _probe_device(warn_after: float = 60.0, fail_after: float = 300.0) -> None:
     """Round-trip one tiny matmul before the real benchmark.
 
     The axon relay has been observed (2026-08-20) in a state where
     dispatch succeeds but result READBACK hangs forever; without this
     probe the benchmark just sits silent. The probe runs in a daemon
-    thread and the main thread prints an escalating stderr warning while
-    it hasn't returned, so the driver log shows exactly what is wrong."""
+    thread; the main thread prints an escalating stderr warning while it
+    hasn't returned and, after ``fail_after`` seconds, raises
+    RelayWedgedError so the round's artifact is a fast structured error
+    instead of a driver timeout (rc=124, parsed=null — BENCH_r02.json).
+    Exceptions inside the probe thread are captured and re-raised here so
+    a deterministic device error is never misreported as a wedge."""
     import threading
 
     import jax
     import jax.numpy as jnp
 
     done = threading.Event()
+    err: list[BaseException] = []
 
     def _run():
-        x = jnp.ones((128, 128), jnp.float32)
-        float(jax.jit(lambda a: (a @ a).sum())(x))
-        done.set()
+        try:
+            x = jnp.ones((128, 128), jnp.float32)
+            float(jax.jit(lambda a: (a @ a).sum())(x))
+        except BaseException as e:  # noqa: BLE001 — re-raised on main thread
+            err.append(e)
+        finally:
+            done.set()
 
     t = threading.Thread(target=_run, daemon=True)
     t0 = time.perf_counter()
@@ -147,9 +199,16 @@ def _probe_device(warn_after: float = 90.0) -> None:
     waited = 0.0
     while not done.wait(timeout=warn_after):
         waited += warn_after
+        if waited >= fail_after:
+            raise RelayWedgedError(
+                f"device probe readback did not return within {waited:.0f}s "
+                "— the TPU relay is accepting dispatches but not returning "
+                "results")
         _note(f"device probe readback still pending after {waited:.0f}s — "
               "the TPU relay is accepting dispatches but not returning "
-              "results; benchmark will proceed when it recovers")
+              f"results; failing at {fail_after:.0f}s")
+    if err:
+        raise err[0]
     _note(f"device probe ok ({time.perf_counter() - t0:.1f}s)")
 
 
@@ -297,26 +356,45 @@ def main() -> int:
             json.dump(cache, f)
     baseline = cache[key]
 
+    suffix = ("_methods" if methods else "") + (
+        f"_{conv_impl}conv" if conv_impl != "xla" else "")
+    metric = (f"train_images_per_sec_per_chip_unet{BASE_CH}_{img}px"
+              f"_bf16{suffix}")
+
     # The device relay on this box occasionally drops a program with a
     # transient runtime error; retry once on THOSE signatures only —
     # deterministic failures (OOM, shape errors) surface immediately.
+    # The probe sits INSIDE the retry so a transient probe error gets the
+    # same one-shot retry the measured run does. A wedged relay (probe
+    # never returns) degrades to ONE parseable error line + nonzero exit
+    # instead of hanging into the driver's timeout.
     _TRANSIENT = ("FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED",
                   "INTERNAL")
-    _probe_device()
     try:
-        value = bench_jax(img, src, batch, methods, conv_impl, packed)
-    except Exception as e:
-        if not any(s in str(e) for s in _TRANSIENT):
+        try:
+            _probe_device()
+            value = bench_jax(img, src, batch, methods, conv_impl, packed)
+        except RelayWedgedError:
             raise
-        print(f"# bench_jax failed ({type(e).__name__}: {e}); retrying once",
-              file=sys.stderr)
-        time.sleep(10)
-        value = bench_jax(img, src, batch, methods, conv_impl, packed)
-    suffix = ("_methods" if methods else "") + (
-        f"_{conv_impl}conv" if conv_impl != "xla" else "")
+        except Exception as e:
+            if not any(s in str(e) for s in _TRANSIENT):
+                raise
+            print(f"# bench failed ({type(e).__name__}: {e}); retrying once",
+                  file=sys.stderr)
+            time.sleep(10)
+            _probe_device()
+            value = bench_jax(img, src, batch, methods, conv_impl, packed)
+    except RelayWedgedError as e:
+        print(json.dumps({
+            "metric": metric, "value": None, "unit": "images/sec/chip",
+            "vs_baseline": None, "error": "relay_readback_wedged",
+            "detail": str(e), "last_verified": _read_last_verified(metric),
+        }))
+        return 1
+
+    _write_last_verified(metric, round(value, 2))
     print(json.dumps({
-        "metric": (f"train_images_per_sec_per_chip_unet{BASE_CH}_{img}px"
-                   f"_bf16{suffix}"),
+        "metric": metric,
         "value": round(value, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(value / baseline, 2),

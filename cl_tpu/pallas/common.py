@@ -20,6 +20,20 @@ def round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def dot_precision(dtype):
+    """Precision for dots whose contract is EXACT routing/summation of
+    the operand bits. TPU default matmul precision truncates f32
+    operands to bf16 before the MXU multiply — fine for bf16 operands
+    (already exact with f32 accumulation) but silently lossy for f32
+    (caught compiled-on-chip: pool routing off by ~4e-3 relative vs the
+    select_and_scatter oracle). HIGHEST decomposes f32 into bf16 passes
+    whose f32-accumulated sum reproduces the operand exactly when the
+    other factor is an exact 0/1 or ones matrix."""
+    return (jax.lax.Precision.HIGHEST
+            if jnp.dtype(dtype).itemsize >= 4
+            else jax.lax.Precision.DEFAULT)
+
+
 def flatten_f32(tree) -> jax.Array:
     """Concatenate all leaves into one f32 vector (differentiable)."""
     leaves = jax.tree.leaves(tree)
@@ -40,4 +54,5 @@ def colsum(m: jax.Array) -> jax.Array:
     ones = jnp.ones((1, m.shape[0]), jnp.float32)
     return jax.lax.dot_general(
         ones, m.astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=dot_precision(m.dtype))

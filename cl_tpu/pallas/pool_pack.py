@@ -160,10 +160,13 @@ def _bwd_kernel(x_ref, dy_ref, *refs, th, g, lanes, c, tee):
     swap_ref, b0_ref, b1_ref = refs[nm], refs[nm + 1], refs[nm + 2]
 
     def lane_dot(a, m_ref):
+        # exact routing for f32 operands too (common.dot_precision —
+        # default TPU precision bf16-truncates f32 before the MXU)
         flat = a.reshape(th * a.shape[1], lanes)
         out = jax.lax.dot_general(
             flat, m_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=common.dot_precision(a.dtype))
         return out.reshape(th, a.shape[1], lanes)
 
     # Partner values at every lane (even block sees odd, odd sees even).
