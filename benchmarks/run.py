@@ -54,8 +54,27 @@ def run_config(name: str, *, quick: bool, with_torch: bool,
     if overrides:
         cfg = parse_overrides(list(overrides), base=cfg)
 
+    init_variables = None
+    if with_torch:
+        # Shared initial weights (VERDICT r2 next #8): seed/construct the
+        # torch model exactly as reference_impl.train.train will, import
+        # its state dict, and hand it to the jax driver — miou_delta then
+        # tracks the oracle trajectory instead of init luck (the same
+        # machinery ab.py and tests/parity use).
+        import torch
+
+        from cl_tpu.data import tasks as task_lib
+        from cl_tpu.interop import torch_state_dict_to_variables
+        from reference_impl.unet import UNet as TorchUNet
+
+        torch.manual_seed(cfg.train.seed)
+        width0 = (cfg.data.num_classes if cfg.model.padded_head else
+                  max(task_lib.seen_classes(cfg.classes_per_task, 0)) + 1)
+        tm = TorchUNet(width0, cfg.model.base_channels, cfg.model.depth)
+        init_variables = torch_state_dict_to_variables(tm.state_dict())
+
     t0 = time.perf_counter()
-    report = train(cfg)
+    report = train(cfg, init_variables=init_variables)
     wall = time.perf_counter() - t0
     out = {
         "config": name,
@@ -77,12 +96,7 @@ def run_config(name: str, *, quick: bool, with_torch: bool,
         out["torch_mean_final_miou"] = tr["mean_final_miou"]
         out["torch_images_per_sec"] = tr.get("images_per_sec_per_chip")
         out["miou_delta"] = out["mean_final_miou"] - tr["mean_final_miou"]
-        # The two frameworks initialize independently here, so miou_delta
-        # carries init noise (large on quick shapes); the 0.5-pt parity
-        # acceptance gate is measured from SHARED initial weights in
-        # tests/parity/test_endtoend.py.
-        out["note"] = ("independent inits; shared-weights parity gated "
-                       "in tests/parity")
+        out["note"] = "shared initial weights (train(init_variables=...))"
         if tr.get("images_per_sec_per_chip"):
             out["speedup_vs_torch_cpu"] = (
                 out["images_per_sec_per_chip"] / tr["images_per_sec_per_chip"])

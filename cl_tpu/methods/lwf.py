@@ -39,6 +39,20 @@ def old_logits(apply_fn, state: LwFState, x) -> jax.Array:
                  x, train=False))
 
 
+def old_features(apply_fn, state: LwFState, x, packed: bool = False):
+    """Frozen-snapshot forward returning PRE-HEAD features (eval mode)
+    — the operand of the KD-fused head kernels (pallas/head_ce.py
+    head_cross_entropy_kd*), which compute the teacher logit tile in
+    VMEM instead of materializing old logits. ``packed=True`` requests
+    the packed body's (raw, scale, shift) tuple."""
+    kw = {"return_features": True}
+    if packed:
+        kw["packed_features"] = True
+    return jax.lax.stop_gradient(
+        apply_fn({"params": state.old_params, **state.old_model_state},
+                 x, train=False, **kw))
+
+
 def distill_loss(new_logits, old, state: LwFState, labels, *,
                  temperature: float, use_pallas: bool = False,
                  ignore_index: int = 255) -> jax.Array:

@@ -598,6 +598,479 @@ _head_ce_packed_bn_total.defvjp(_head_ce_packed_bn_fwd,
                                 _head_ce_packed_bn_bwd)
 
 
+# ---------------------------------------------------------------------------
+# KD-fused variants: CE + LwF distillation in the same tile pass
+# ---------------------------------------------------------------------------
+#
+# LwF needs the distillation KL between teacher and student logits
+# (losses.kd_loss_jnp; SURVEY.md §2.1 "LwF").  Round 2 therefore dropped
+# the fused head whenever LwF was active (`use_fused_head = ... and not
+# use_lwf`) and baseline_4 paid ~43% throughput for the unfused logits
+# round-trips (VERDICT r2 weak #2 / next #4).  These kernels lift that:
+# the TEACHER logit tile is one extra [C,Cin]@[Cin,cols] dot in VMEM
+# from the teacher's (stop-gradient) pre-head features, the KD terms use
+# the same in-register f32 softmax discipline as the CE math, and the
+# backward folds d(kd)/dz = T·(p_new − p_old) into the same per-logit
+# cotangent g that drives dx/dW/db — so neither student nor teacher
+# logits ever exist in HBM.  Teacher inputs receive zero cotangents
+# (they are stop_gradient'ed by the caller; the zeros are DCE'd).
+#
+# KD math (identical to losses.kd_loss_jnp): with z the student and zt
+# the teacher logits, both masked to the OLD model's class set,
+#   kd_pix = T² · Σ_c softmax(zt/T)_c · (log_softmax(zt/T)_c
+#                                        − log_softmax(z/T)_c)
+# summed over non-ignored pixels; 1/n and the α/weight gates are applied
+# by the caller.  d(kd_pix)/dz_c = T·(softmax(z/T)_c − softmax(zt/T)_c)
+# for c in the old set, 0 elsewhere.
+
+
+def _kd_sum_tile(z, zt, pix, old_v, t):
+    """Σ_pixels kd_pix from masked f32 logit tiles [C, cols]."""
+    zo = jnp.where(old_v > 0, z, NEG_INF) / t
+    zto = jnp.where(old_v > 0, zt, NEG_INF) / t
+    mo = jnp.max(zto, axis=0, keepdims=True)
+    eo = jnp.exp(zto - mo)
+    so = jnp.sum(eo, axis=0, keepdims=True)
+    p_old = eo / so
+    logp_old = zto - mo - jnp.log(so)
+    mn = jnp.max(zo, axis=0, keepdims=True)
+    en = jnp.exp(zo - mn)
+    sn = jnp.sum(en, axis=0, keepdims=True)
+    logp_new = zo - mn - jnp.log(sn)
+    kl = jnp.sum(p_old * (logp_old - logp_new), axis=0, keepdims=True)
+    return (t * t) * jnp.sum(kl * pix)
+
+
+def _kd_grad_tile(z, zt, pix, old_v, t):
+    """d(Σ kd_pix)/dz — [C, cols] f32 (unscaled by the loss cotangent)."""
+    zo = jnp.where(old_v > 0, z, NEG_INF) / t
+    zto = jnp.where(old_v > 0, zt, NEG_INF) / t
+    mo = jnp.max(zto, axis=0, keepdims=True)
+    eo = jnp.exp(zto - mo)
+    p_old = eo / jnp.sum(eo, axis=0, keepdims=True)
+    mn = jnp.max(zo, axis=0, keepdims=True)
+    en = jnp.exp(zo - mn)
+    p_new = en / jnp.sum(en, axis=0, keepdims=True)
+    g = t * (p_new - p_old) * pix
+    return jnp.where(old_v > 0, g, 0.0)
+
+
+def _kd_fwd_kernel(ignore_index, t, x_ref, wt_ref, b_ref, xt_ref, wtt_ref,
+                   bt_ref, lbl_ref, valid_ref, ovalid_ref, ce_ref, kd_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        ce_ref[0, 0] = jnp.float32(0.0)
+        kd_ref[0, 0] = jnp.float32(0.0)
+
+    v = valid_ref[:]
+    z = jnp.where(v > 0, _logits_tile(x_ref, wt_ref, b_ref), NEG_INF)
+    m = jnp.max(z, axis=0, keepdims=True)
+    logz = m + jnp.log(jnp.sum(jnp.exp(z - m), axis=0, keepdims=True))
+    lbl = lbl_ref[:]
+    pix = (lbl != ignore_index).astype(jnp.float32)
+    lbl0 = jnp.where(lbl == ignore_index, 0, lbl)
+    row = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+    picked = jnp.sum(jnp.where(row == lbl0, z, 0.0), axis=0, keepdims=True)
+    ce_ref[0, 0] += jnp.sum((logz - picked) * pix)
+    ov = ovalid_ref[:]
+    zt = _logits_tile(xt_ref, wtt_ref, bt_ref)
+    kd_ref[0, 0] += _kd_sum_tile(z, zt, pix, ov, t)
+
+
+def _kd_bwd_kernel(ignore_index, t, x_ref, wt_ref, w_ref, b_ref, xt_ref,
+                   wtt_ref, bt_ref, lbl_ref, valid_ref, ovalid_ref,
+                   gce_ref, gkd_ref, dx_ref, dw_ref, db_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    v = valid_ref[:]
+    z = jnp.where(v > 0, _logits_tile(x_ref, wt_ref, b_ref), NEG_INF)
+    m = jnp.max(z, axis=0, keepdims=True)
+    e = jnp.exp(z - m)
+    p = e / jnp.sum(e, axis=0, keepdims=True)
+    lbl = lbl_ref[:]
+    pix = (lbl != ignore_index).astype(jnp.float32)
+    lbl0 = jnp.where(lbl == ignore_index, 0, lbl)
+    row = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+    onehot = (row == lbl0).astype(jnp.float32)
+    g = gce_ref[0, 0] * pix * (p - onehot)
+    g = jnp.where(v > 0, g, 0.0)
+    ov = ovalid_ref[:]
+    zt = _logits_tile(xt_ref, wtt_ref, bt_ref)
+    g = g + gkd_ref[0, 0] * _kd_grad_tile(z, zt, pix, ov, t)
+    gc = g.astype(x_ref.dtype)
+    dx_ref[:] = jax.lax.dot_general(
+        w_ref[:].astype(x_ref.dtype), gc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(dx_ref.dtype)
+    x = x_ref[:]
+    dw_ref[:] += jax.lax.dot_general(
+        gc, x, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_ref[:] += jnp.sum(g, axis=1, keepdims=True)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _head_ce_kd_total(features, w, b, tfeat, tw, tb, labels, vo_pair,
+                      ignore_index, temperature):
+    """(Σ per-pixel NLL, Σ per-pixel KD) — unnormalized, class-major.
+    ``vo_pair`` = (valid_classes, old_valid). Teacher args get zero
+    cotangents."""
+    return _head_ce_kd_fwd(features, w, b, tfeat, tw, tb, labels, vo_pair,
+                           ignore_index, temperature)[0]
+
+
+def _head_ce_kd_fwd(features, w, b, tfeat, tw, tb, labels, vo_pair,
+                    ignore_index, temperature):
+    valid_classes, old_valid = vo_pair
+    C = valid_classes.shape[0]
+    x, lbl, valid, P, Pp, bp, cin = _prep(features, labels, valid_classes,
+                                          ignore_index)
+    xt = tfeat.reshape(-1, cin).T
+    if Pp != xt.shape[1]:
+        xt = jnp.pad(xt, ((0, 0), (0, Pp - xt.shape[1])))
+    ovalid = old_valid.astype(jnp.float32)[:, None]
+    grid = (Pp // bp,)
+    xs = pl.BlockSpec((cin, bp), lambda i: (0, i), memory_space=pltpu.VMEM)
+    wts = pl.BlockSpec((C, cin), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bs = pl.BlockSpec((C, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    ls = pl.BlockSpec((1, bp), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ss = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    ce, kd = pl.pallas_call(
+        functools.partial(_kd_fwd_kernel, ignore_index, temperature),
+        out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+        grid=grid,
+        in_specs=[xs, wts, bs, xs, wts, bs, ls, bs, bs],
+        out_specs=(ss, ss),
+        interpret=common.interpret_mode(),
+    )(x, w.T, b[:, None], xt, tw.T, tb[:, None], lbl, valid, ovalid)
+    return ((ce[0, 0], kd[0, 0]),
+            (features, w, b, tfeat, tw, tb, labels, vo_pair))
+
+
+def _head_ce_kd_bwd(ignore_index, temperature, res, cots):
+    features, w, b, tfeat, tw, tb, labels, vo_pair = res
+    valid_classes, old_valid = vo_pair
+    gce, gkd = cots
+    C = valid_classes.shape[0]
+    x, lbl, valid, P, Pp, bp, cin = _prep(features, labels, valid_classes,
+                                          ignore_index)
+    xt = tfeat.reshape(-1, cin).T
+    if Pp != xt.shape[1]:
+        xt = jnp.pad(xt, ((0, 0), (0, Pp - xt.shape[1])))
+    ovalid = old_valid.astype(jnp.float32)[:, None]
+    grid = (Pp // bp,)
+    xs = pl.BlockSpec((cin, bp), lambda i: (0, i), memory_space=pltpu.VMEM)
+    wts = pl.BlockSpec((C, cin), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    ws = pl.BlockSpec((cin, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bs = pl.BlockSpec((C, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    ls = pl.BlockSpec((1, bp), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ss = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    dx, dw, db = pl.pallas_call(
+        functools.partial(_kd_bwd_kernel, ignore_index, temperature),
+        out_shape=(jax.ShapeDtypeStruct((cin, Pp), features.dtype),
+                   jax.ShapeDtypeStruct((C, cin), jnp.float32),
+                   jax.ShapeDtypeStruct((C, 1), jnp.float32)),
+        grid=grid,
+        in_specs=[xs, wts, ws, bs, xs, wts, bs, ls, bs, bs, ss, ss],
+        out_specs=(xs, wts, bs),
+        interpret=common.interpret_mode(),
+    )(x, w.T, w, b[:, None], xt, tw.T, tb[:, None], lbl, valid, ovalid,
+      jnp.full((1, 1), gce, jnp.float32), jnp.full((1, 1), gkd, jnp.float32))
+    dfeat = dx[:, :P].T.reshape(features.shape)
+    return (dfeat, dw.T, db[:, 0],
+            jnp.zeros_like(tfeat), jnp.zeros_like(tw), jnp.zeros_like(tb),
+            np.zeros(labels.shape, jax.dtypes.float0),
+            (np.zeros(valid_classes.shape, jax.dtypes.float0),
+             np.zeros(old_valid.shape, jax.dtypes.float0)))
+
+
+_head_ce_kd_total.defvjp(_head_ce_kd_fwd, _head_ce_kd_bwd)
+
+
+def head_cross_entropy_kd(features, head_kernel, head_bias, tfeatures,
+                          t_kernel, t_bias, labels, valid_classes,
+                          old_valid, *, temperature, ignore_index=255):
+    """Fused head + CE + LwF-KD on plain NHWC features: returns
+    (ce_mean, kd_mean, n).  ``kd_mean`` equals ``losses.kd_loss_jnp`` of
+    the two materialized logit tensors (oracle-tested); α and the LwF
+    weight gate are applied by the caller."""
+    w2, hb = _bn_head_args(head_kernel, head_bias, valid_classes)
+    tw2, tb2 = _bn_head_args(t_kernel, t_bias, valid_classes)
+    n = _n_pix(labels, ignore_index)
+    ce_t, kd_t = _head_ce_kd_total(
+        features, w2, hb, tfeatures, tw2, tb2, labels,
+        (valid_classes, old_valid), int(ignore_index), float(temperature))
+    return ce_t / n, kd_t / n, n
+
+
+def head_cross_entropy_kd_sharded(features, head_kernel, head_bias,
+                                  tfeatures, t_kernel, t_bias, labels,
+                                  valid_classes, old_valid, *, axis,
+                                  temperature, ignore_index=255):
+    """Batch-sharded :func:`head_cross_entropy_kd` for jax.shard_map."""
+    w2, hb = _bn_head_args(head_kernel, head_bias, valid_classes)
+    tw2, tb2 = _bn_head_args(t_kernel, t_bias, valid_classes)
+    ce_t, kd_t = _head_ce_kd_total(
+        features, w2, hb, tfeatures, tw2, tb2, labels,
+        (valid_classes, old_valid), int(ignore_index), float(temperature))
+    n_local = (labels != ignore_index).sum().astype(jnp.float32)
+    ce_t = jax.lax.psum(ce_t, axis)
+    kd_t = jax.lax.psum(kd_t, axis)
+    n = jnp.maximum(jax.lax.psum(n_local, axis), 1.0)
+    return ce_t / n, kd_t / n, n
+
+
+# Packed-view BN-prologue KD kernels: the production baseline_4/5 path.
+
+
+def _pkbn_kd_fwd_kernel(ignore_index, t, p, x_ref, s_ref, t_ref, wt_ref,
+                        b_ref, xt_ref, st_ref, tt_ref, wtt_ref, bt_ref,
+                        lbl_ref, valid_ref, ovalid_ref, ce_ref, kd_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        ce_ref[0, 0] = jnp.float32(0.0)
+        kd_ref[0, 0] = jnp.float32(0.0)
+
+    cin = x_ref.shape[-1] // p
+    zf = jnp.maximum(
+        x_ref[...].astype(jnp.float32) * s_ref[0] + t_ref[0], 0.0)
+    xcm = _cm_from_packed(zf.astype(x_ref.dtype), p, cin)
+    z = _cm_logits(xcm, wt_ref, b_ref, valid_ref)
+    m = jnp.max(z, axis=0, keepdims=True)
+    logz = m + jnp.log(jnp.sum(jnp.exp(z - m), axis=0, keepdims=True))
+    lbl = lbl_ref[:]
+    pix = (lbl != ignore_index).astype(jnp.float32)
+    lbl0 = jnp.where(lbl == ignore_index, 0, lbl)
+    row = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+    picked = jnp.sum(jnp.where(row == lbl0, z, 0.0), axis=0, keepdims=True)
+    ce_ref[0, 0] += jnp.sum((logz - picked) * pix)
+    ztf = jnp.maximum(
+        xt_ref[...].astype(jnp.float32) * st_ref[0] + tt_ref[0], 0.0)
+    xtcm = _cm_from_packed(ztf.astype(xt_ref.dtype), p, cin)
+    wtt = wtt_ref[:].astype(xtcm.dtype)
+    zt = jax.lax.dot_general(wtt, xtcm, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) + bt_ref[:]
+    kd_ref[0, 0] += _kd_sum_tile(z, zt, pix, ovalid_ref[:], t)
+
+
+def _pkbn_kd_bwd_kernel(ignore_index, t, p, x_ref, s_ref, t_ref, wt_ref,
+                        w_ref, b_ref, xt_ref, st_ref, tt_ref, wtt_ref,
+                        bt_ref, lbl_ref, valid_ref, ovalid_ref, gce_ref,
+                        gkd_ref, dx_ref, dst_ref, dw_ref, db_ref):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        dst_ref[:] = jnp.zeros_like(dst_ref)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    cin = x_ref.shape[-1] // p
+    tn = x_ref.shape[0]
+    yf = x_ref[...].astype(jnp.float32)
+    tpre = yf * s_ref[0] + t_ref[0]
+    zf = jnp.maximum(tpre, 0.0)
+    xcm = _cm_from_packed(zf.astype(x_ref.dtype), p, cin)
+    z = _cm_logits(xcm, wt_ref, b_ref, valid_ref)
+    m = jnp.max(z, axis=0, keepdims=True)
+    e = jnp.exp(z - m)
+    prob = e / jnp.sum(e, axis=0, keepdims=True)
+    lbl = lbl_ref[:]
+    pix = (lbl != ignore_index).astype(jnp.float32)
+    lbl0 = jnp.where(lbl == ignore_index, 0, lbl)
+    row = jax.lax.broadcasted_iota(jnp.int32, z.shape, 0)
+    onehot = (row == lbl0).astype(jnp.float32)
+    g = gce_ref[0, 0] * pix * (prob - onehot)
+    g = jnp.where(valid_ref[:] > 0, g, 0.0)
+    ztf = jnp.maximum(
+        xt_ref[...].astype(jnp.float32) * st_ref[0] + tt_ref[0], 0.0)
+    xtcm = _cm_from_packed(ztf.astype(xt_ref.dtype), p, cin)
+    wtt = wtt_ref[:].astype(xtcm.dtype)
+    zt = jax.lax.dot_general(wtt, xtcm, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) + bt_ref[:]
+    g = g + gkd_ref[0, 0] * _kd_grad_tile(z, zt, pix, ovalid_ref[:], t)
+    gc = g.astype(x_ref.dtype)
+    dzcm = jax.lax.dot_general(
+        w_ref[:].astype(gc.dtype), gc, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dz = (_packed_from_cm(dzcm, p, tn).astype(x_ref.dtype)
+          .astype(jnp.float32))
+    du = jnp.where(tpre > 0, dz, 0.0)
+    dx_ref[...] = (du * s_ref[0]).astype(dx_ref.dtype)
+    dst_ref[0:1, :] += common.colsum(du * yf)
+    dst_ref[1:2, :] += common.colsum(du)
+    dw_ref[:] += jax.lax.dot_general(
+        gc, xcm, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_ref[:] += jnp.sum(g, axis=1, keepdims=True)
+
+
+def _pkcm_prep_kd(features, labels, p):
+    """Like :func:`_pkcm_prep` but with a smaller row tile — the KD
+    kernels hold a teacher tile + its f32 intermediates too."""
+    lanes = features.shape[-1]
+    x2 = features.reshape(-1, lanes)
+    n = x2.shape[0]
+    tn = _pick_rows(n, target=max(8, 4096 // p))
+    lbl = labels.reshape(-1, p).astype(jnp.int32)
+    lbl = (lbl.reshape(n // tn, tn, p).transpose(0, 2, 1)
+           .reshape(1, n * p))
+    return x2, lbl, n, tn
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
+def _head_ce_kd_packed_bn_total(features, scale, shift, w2, b, tfeat,
+                                tscale, tshift, tw2, tb, labels, vo_pair,
+                                ignore_index, p, temperature):
+    """(Σ NLL, Σ KD) on RAW packed views with deferred BN·ReLU applied
+    in-kernel for BOTH student and teacher."""
+    return _head_ce_kd_packed_bn_fwd(
+        features, scale, shift, w2, b, tfeat, tscale, tshift, tw2, tb,
+        labels, vo_pair, ignore_index, p, temperature)[0]
+
+
+def _head_ce_kd_packed_bn_fwd(features, scale, shift, w2, b, tfeat,
+                              tscale, tshift, tw2, tb, labels, vo_pair,
+                              ignore_index, p, temperature):
+    valid_classes, old_valid = vo_pair
+    C = valid_classes.shape[0]
+    lanes = features.shape[-1]
+    cin = lanes // p
+    s_l, t_l = jnp.tile(scale, p), jnp.tile(shift, p)
+    ts_l, tt_l = jnp.tile(tscale, p), jnp.tile(tshift, p)
+    x2, lbl, n, tn = _pkcm_prep_kd(features, labels, p)
+    xt2 = tfeat.reshape(-1, lanes)
+    valid = valid_classes.astype(jnp.float32)[:, None]
+    ovalid = old_valid.astype(jnp.float32)[:, None]
+    rows = pl.BlockSpec((tn, lanes), lambda i: (i, 0))
+    vec = pl.BlockSpec((1, lanes), lambda i: (0, 0))
+    wts = pl.BlockSpec((C, cin), lambda i: (0, 0))
+    cb = pl.BlockSpec((C, 1), lambda i: (0, 0))
+    ls = pl.BlockSpec((1, tn * p), lambda i: (0, i))
+    ss = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    ce, kd = pl.pallas_call(
+        functools.partial(_pkbn_kd_fwd_kernel, int(ignore_index),
+                          temperature, p),
+        grid=(n // tn,),
+        in_specs=[rows, vec, vec, wts, cb, rows, vec, vec, wts, cb, ls,
+                  cb, cb],
+        out_specs=(ss, ss),
+        out_shape=(jax.ShapeDtypeStruct((1, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+        interpret=common.interpret_mode(),
+    )(x2, s_l.reshape(1, -1), t_l.reshape(1, -1), w2.T, b[:, None],
+      xt2, ts_l.reshape(1, -1), tt_l.reshape(1, -1), tw2.T, tb[:, None],
+      lbl, valid, ovalid)
+    return ((ce[0, 0], kd[0, 0]),
+            (features, scale, shift, w2, b, tfeat, tscale, tshift, tw2,
+             tb, labels, vo_pair))
+
+
+def _head_ce_kd_packed_bn_bwd(ignore_index, p, temperature, res, cots):
+    (features, scale, shift, w2, b, tfeat, tscale, tshift, tw2, tb,
+     labels, vo_pair) = res
+    valid_classes, old_valid = vo_pair
+    gce, gkd = cots
+    C = valid_classes.shape[0]
+    lanes = features.shape[-1]
+    cin = lanes // p
+    s_l, t_l = jnp.tile(scale, p), jnp.tile(shift, p)
+    ts_l, tt_l = jnp.tile(tscale, p), jnp.tile(tshift, p)
+    x2, lbl, n, tn = _pkcm_prep_kd(features, labels, p)
+    xt2 = tfeat.reshape(-1, lanes)
+    valid = valid_classes.astype(jnp.float32)[:, None]
+    ovalid = old_valid.astype(jnp.float32)[:, None]
+    rows = pl.BlockSpec((tn, lanes), lambda i: (i, 0))
+    vec = pl.BlockSpec((1, lanes), lambda i: (0, 0))
+    wts = pl.BlockSpec((C, cin), lambda i: (0, 0))
+    ws = pl.BlockSpec((cin, C), lambda i: (0, 0))
+    cb = pl.BlockSpec((C, 1), lambda i: (0, 0))
+    ls = pl.BlockSpec((1, tn * p), lambda i: (0, i))
+    ss = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    dx, dst, dwt, db = pl.pallas_call(
+        functools.partial(_pkbn_kd_bwd_kernel, int(ignore_index),
+                          temperature, p),
+        grid=(n // tn,),
+        in_specs=[rows, vec, vec, wts, ws, cb, rows, vec, vec, wts, cb,
+                  ls, cb, cb, ss, ss],
+        out_specs=(rows, pl.BlockSpec((2, lanes), lambda i: (0, 0)),
+                   wts, cb),
+        out_shape=(jax.ShapeDtypeStruct((n, lanes), features.dtype),
+                   jax.ShapeDtypeStruct((2, lanes), jnp.float32),
+                   jax.ShapeDtypeStruct((C, cin), jnp.float32),
+                   jax.ShapeDtypeStruct((C, 1), jnp.float32)),
+        interpret=common.interpret_mode(),
+    )(x2, s_l.reshape(1, -1), t_l.reshape(1, -1), w2.T, w2, b[:, None],
+      xt2, ts_l.reshape(1, -1), tt_l.reshape(1, -1), tw2.T, tb[:, None],
+      lbl, valid, ovalid,
+      jnp.full((1, 1), gce, jnp.float32), jnp.full((1, 1), gkd, jnp.float32))
+    dfeat = dx.reshape(features.shape)
+    dscale = dst[0].reshape(p, cin).sum(0)
+    dshift = dst[1].reshape(p, cin).sum(0)
+    return (dfeat, dscale, dshift, dwt.T, db[:, 0],
+            jnp.zeros_like(tfeat), jnp.zeros_like(tscale),
+            jnp.zeros_like(tshift), jnp.zeros_like(tw2),
+            jnp.zeros_like(tb),
+            np.zeros(labels.shape, jax.dtypes.float0),
+            (np.zeros(valid_classes.shape, jax.dtypes.float0),
+             np.zeros(old_valid.shape, jax.dtypes.float0)))
+
+
+_head_ce_kd_packed_bn_total.defvjp(_head_ce_kd_packed_bn_fwd,
+                                   _head_ce_kd_packed_bn_bwd)
+
+
+def head_cross_entropy_kd_packed_bn(features_raw, scale, shift,
+                                    head_kernel, head_bias, tfeat_raw,
+                                    tscale, tshift, t_kernel, t_bias,
+                                    labels, valid_classes, old_valid, *,
+                                    p, temperature, ignore_index=255):
+    """Fused BN·ReLU + head + CE + LwF-KD on the packed bodies' RAW
+    outputs (student AND teacher, each with its own deferred
+    scale/shift): returns (ce_mean, kd_mean, n).  Equals the
+    bn_relu_packed → head → CE/KD composition (oracle-tested); student
+    logits and teacher logits never exist in HBM."""
+    w2, hb = _bn_head_args(head_kernel, head_bias, valid_classes)
+    tw2, tb2 = _bn_head_args(t_kernel, t_bias, valid_classes)
+    n = _n_pix(labels, ignore_index)
+    ce_t, kd_t = _head_ce_kd_packed_bn_total(
+        features_raw, scale, shift, w2, hb, tfeat_raw, tscale, tshift,
+        tw2, tb2, labels, (valid_classes, old_valid), int(ignore_index),
+        p, float(temperature))
+    return ce_t / n, kd_t / n, n
+
+
+def head_cross_entropy_kd_packed_bn_sharded(features_raw, scale, shift,
+                                            head_kernel, head_bias,
+                                            tfeat_raw, tscale, tshift,
+                                            t_kernel, t_bias, labels,
+                                            valid_classes, old_valid, *,
+                                            p, axis, temperature,
+                                            ignore_index=255):
+    """Batch-sharded :func:`head_cross_entropy_kd_packed_bn` for
+    jax.shard_map (BN vectors replicated — stats are psum'd)."""
+    w2, hb = _bn_head_args(head_kernel, head_bias, valid_classes)
+    tw2, tb2 = _bn_head_args(t_kernel, t_bias, valid_classes)
+    ce_t, kd_t = _head_ce_kd_packed_bn_total(
+        features_raw, scale, shift, w2, hb, tfeat_raw, tscale, tshift,
+        tw2, tb2, labels, (valid_classes, old_valid), int(ignore_index),
+        p, float(temperature))
+    n_local = (labels != ignore_index).sum().astype(jnp.float32)
+    ce_t = jax.lax.psum(ce_t, axis)
+    kd_t = jax.lax.psum(kd_t, axis)
+    n = jnp.maximum(jax.lax.psum(n_local, axis), 1.0)
+    return ce_t / n, kd_t / n, n
+
+
 def _bn_head_args(head_kernel, head_bias, valid_classes):
     cin = head_kernel.shape[-2] if head_kernel.ndim == 4 else \
         head_kernel.shape[0]

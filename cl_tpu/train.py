@@ -240,15 +240,18 @@ def make_train_step(cfg: Config, model: UNet, tx,
     # are replicated — nothing reshards).
     use_pallas_batch = use_pallas and mesh is None
     # Fused head+CE (pallas/head_ce.py): logits never materialize in HBM.
-    # LwF needs the full logit tensor for KD, and the spatial forward
-    # returns stitched logits, so both fall back to the unfused path.
+    # Under LwF the KD-fused variants compute the TEACHER logit tile in
+    # VMEM from teacher pre-head features too (head_cross_entropy_kd*),
+    # so the fused head no longer drops out (round-2's `not use_lwf`
+    # gate cost baseline_4 ~43% throughput). Only the spatial forward
+    # (stitched logits) falls back to the unfused path.
     fh = str(cfg.train.fused_head_ce).lower()
     fh_on = (cfg.model.base_channels <= 32 if fh == "auto"
              else fh in ("true", "on", "1"))
-    use_fused_head = (use_pallas and not use_lwf and spatial_mesh is None
-                      and fh_on)
+    use_fused_head = use_pallas and spatial_mesh is None and fh_on
     ce_sharded = kd_sharded = head_ce_sharded = None
     head_ce_packed_sharded = None
+    head_ce_kd_sharded = head_ce_kd_packed_sharded = None
     if use_fused_head and mesh is not None:
         from jax.sharding import PartitionSpec as P
 
@@ -262,6 +265,19 @@ def make_train_step(cfg: Config, model: UNet, tx,
             in_specs=(P(sharding.DATA_AXIS), P(), P(),
                       P(sharding.DATA_AXIS), P()),
             out_specs=(P(), P()), check_vma=False)
+        if use_lwf:
+            head_ce_kd_sharded = jax.shard_map(
+                lambda ft, hw, hb, tf, tw, tb, lb, v, ov:
+                head_pallas_s.head_cross_entropy_kd_sharded(
+                    ft, hw, hb, tf, tw, tb, lb, v, ov,
+                    axis=sharding.DATA_AXIS,
+                    temperature=m.lwf_temperature,
+                    ignore_index=cfg.data.ignore_index),
+                mesh=mesh,
+                in_specs=(P(sharding.DATA_AXIS), P(), P(),
+                          P(sharding.DATA_AXIS), P(), P(),
+                          P(sharding.DATA_AXIS), P(), P()),
+                out_specs=(P(), P(), P()), check_vma=False)
         if cfg.model.packed_unet and cfg.train.packed_head_ce:
             from cl_tpu.pallas.conv3x3 import pick_pack as _ppk
 
@@ -276,6 +292,20 @@ def make_train_step(cfg: Config, model: UNet, tx,
                 in_specs=(P(sharding.DATA_AXIS), P(), P(), P(), P(),
                           P(sharding.DATA_AXIS), P()),
                 out_specs=(P(), P()), check_vma=False)
+            if use_lwf:
+                head_ce_kd_packed_sharded = jax.shard_map(
+                    lambda ft, sc, sh, hw, hb, tf, tsc, tsh, tw, tb, lb,
+                    v, ov:
+                    head_pallas_s.head_cross_entropy_kd_packed_bn_sharded(
+                        ft, sc, sh, hw, hb, tf, tsc, tsh, tw, tb, lb, v,
+                        ov, p=_Ppk, axis=sharding.DATA_AXIS,
+                        temperature=m.lwf_temperature,
+                        ignore_index=cfg.data.ignore_index),
+                    mesh=mesh,
+                    in_specs=(P(sharding.DATA_AXIS), P(), P(), P(), P(),
+                              P(sharding.DATA_AXIS), P(), P(), P(), P(),
+                              P(sharding.DATA_AXIS), P(), P()),
+                    out_specs=(P(), P(), P()), check_vma=False)
     if use_pallas and mesh is not None:
         from jax.sharding import PartitionSpec as P
 
@@ -335,12 +365,21 @@ def make_train_step(cfg: Config, model: UNet, tx,
              valid_classes: jax.Array):
         x, y = _augment(batch, d, compute_dtype, use_pallas_aug)
 
-        old = None
+        old = old_feats = None
         if use_lwf:
-            old = _pad_logits(lwf_lib.old_logits(fwd_apply, state.lwf, x),
-                              d.num_classes)
+            if use_fused_head:
+                # teacher PRE-HEAD features: the KD-fused head kernels
+                # compute the teacher logit tile in VMEM, so neither
+                # logit tensor materializes (pallas/head_ce.py KD section)
+                old_feats = lwf_lib.old_features(
+                    fwd_apply, state.lwf, x, packed=want_packed_feats)
+            else:
+                old = _pad_logits(
+                    lwf_lib.old_logits(fwd_apply, state.lwf, x),
+                    d.num_classes)
 
-        def finish(params, ce, n_pix, new_ms, logits=None, old_t=None):
+        def finish(params, ce, n_pix, new_ms, logits=None, old_t=None,
+                   kd=None):
             total = ce
             aux = {"ce": ce, "n_pix": n_pix}
             if use_ewc:
@@ -354,7 +393,9 @@ def make_train_step(cfg: Config, model: UNet, tx,
                 total = total + m.ewc_lambda * pen
                 aux["ewc_penalty"] = pen
             if use_lwf:
-                if kd_sharded is not None:
+                if kd is not None:
+                    pass  # KD-fused head already computed it
+                elif kd_sharded is not None:
                     kd = state.lwf.weight * kd_sharded(
                         logits, old_t, state.lwf.old_valid, y)
                 else:
@@ -377,6 +418,38 @@ def make_train_step(cfg: Config, model: UNet, tx,
                 # the packed body returns (raw, scale, shift) when it
                 # engaged; the BN·ReLU prologue runs inside the kernel
                 pk = isinstance(feats, tuple)
+                if use_lwf:
+                    thk = state.lwf.old_params["head"]["kernel"]
+                    thb = state.lwf.old_params["head"]["bias"]
+                    ov = state.lwf.old_valid
+                    if pk:
+                        raw, f_sc, f_sh = feats
+                        traw, t_sc, t_sh = old_feats
+                        pp = raw.shape[-1] // cfg.model.base_channels
+                        if head_ce_kd_packed_sharded is not None:
+                            ce, kd_raw, n_pix = head_ce_kd_packed_sharded(
+                                raw, f_sc, f_sh, hk, hb, traw, t_sc,
+                                t_sh, thk, thb, y, valid_classes, ov)
+                        else:
+                            ce, kd_raw, n_pix = \
+                                head_pallas.head_cross_entropy_kd_packed_bn(
+                                    raw, f_sc, f_sh, hk, hb, traw, t_sc,
+                                    t_sh, thk, thb, y, valid_classes, ov,
+                                    p=pp, temperature=m.lwf_temperature,
+                                    ignore_index=d.ignore_index)
+                    elif head_ce_kd_sharded is not None:
+                        ce, kd_raw, n_pix = head_ce_kd_sharded(
+                            feats, hk, hb, old_feats, thk, thb, y,
+                            valid_classes, ov)
+                    else:
+                        ce, kd_raw, n_pix = \
+                            head_pallas.head_cross_entropy_kd(
+                                feats, hk, hb, old_feats, thk, thb, y,
+                                valid_classes, ov,
+                                temperature=m.lwf_temperature,
+                                ignore_index=d.ignore_index)
+                    return finish(params, ce, n_pix, new_ms,
+                                  kd=state.lwf.weight * kd_raw)
                 if pk and head_ce_packed_sharded is not None:
                     raw, f_sc, f_sh = feats
                     ce, n_pix = head_ce_packed_sharded(
