@@ -81,10 +81,12 @@ class ModelConfig:
     # spatial_parallel it falls back to the standard body (warned).
     packed_unet: bool = True
     # Measured-win envelope for packed execution: engages only at
-    # image_size >= packed_min_size AND base_channels <= 32 (ladder
-    # measurements: 128² f32 197 vs 250 img/s and 256²/64ch f32 179 vs
-    # 205 — XLA wins; 512²/32ch packed wins +31–62%). 0 forces packed
-    # everywhere (tests / future shapes).
+    # image_size >= packed_min_size AND base_channels <= 32. Full-rung
+    # A/Bs: 128² f32 197 vs 250 img/s (XLA wins); 256²/64ch f32 203 vs
+    # 214 AND bf16 260 vs 301 (XLA wins both dtypes — DESIGN.md §8
+    # "64-channel envelope": P=2 halves the lane-packing benefit and
+    # 64-ch operands already near-fill the MXU); 512²/32ch packed wins
+    # +31–62%. 0 forces packed everywhere (tests / future shapes).
     packed_min_size: int = 256
     # Fuse the encoder skip-cotangent add into the packed pool backward
     # kernel (pool_pack.maxpool2x2_packed_tee): the pool input IS the
@@ -274,14 +276,20 @@ def _preset_baseline_2() -> Config:
 
 
 def _preset_baseline_3() -> Config:
-    """2-task class-incremental, 512², EWC Fisher regularization."""
+    """2-task class-incremental, 512², EWC Fisher regularization.
+
+    λ_ewc=3e4 is the measured 512² sweet spot (benchmarks/
+    ab512_lambda.json sweep 10→1e5): best forgetting (0.553 vs 0.689 at
+    the generic default 100/1e3, 0.593 at 1e5) with mean final mIoU
+    unchanged (0.360 vs 0.361-0.363) — the generic MethodConfig default
+    is demonstrably inert at this scale (VERDICT r2 weak #5)."""
     return Config(
         data=DataConfig(dataset="synthetic_native", num_classes=21, image_size=512,
                         source_size=576, batch_size=8,
                         train_images_per_task=128, val_images_per_task=32,
                         device_cache=True),
         model=ModelConfig(base_channels=32),
-        method=MethodConfig(methods=("ewc",)),
+        method=MethodConfig(methods=("ewc",), ewc_lambda=3e4),
         train=TrainConfig(num_tasks=2, epochs_per_task=2),
     )
 
@@ -314,6 +322,7 @@ def _preset_baseline_5() -> Config:
         # cache and replay buffer replicate per chip and the plan-gathered
         # batch reshards in-program (no per-step host->device traffic).
         method=MethodConfig(methods=("ewc", "lwf", "replay"),
+                            ewc_lambda=3e4,  # 512² sweep — see baseline_3
                             replay_batch=8, replay_device_resident=True),
         train=TrainConfig(num_tasks=5, epochs_per_task=2,
                           compute_dtype="bfloat16", data_parallel=True),

@@ -357,6 +357,61 @@ def test_head_ce_packed_bn_compiled():
                                    atol=1e-4, rtol=1e-4)
 
 
+def test_head_ce_kd_packed_bn_compiled():
+    """KD-fused BN-prologue head (the baseline_4/5 production path)
+    compiled: CE and KD match the materialized-logits composition."""
+    from cl_tpu import losses
+    from cl_tpu.pallas import head_ce
+    from cl_tpu.pallas.packed_eltwise import bn_relu_packed
+
+    rng = np.random.RandomState(43)
+    b, h, w, cin, p, C = 1, 16, 64, 32, 4, 19
+    T = 2.0
+    raw = jnp.asarray(rng.randn(b, h, w // p, p * cin).astype(np.float32))
+    traw = jnp.asarray(rng.randn(b, h, w // p, p * cin).astype(np.float32))
+    sc = jnp.asarray(rng.rand(cin).astype(np.float32) + 0.5)
+    sh = jnp.asarray(rng.randn(cin).astype(np.float32) * 0.1)
+    tsc = jnp.asarray(rng.rand(cin).astype(np.float32) + 0.5)
+    tsh = jnp.asarray(rng.randn(cin).astype(np.float32) * 0.1)
+    hk = jnp.asarray(rng.randn(1, 1, cin, C).astype(np.float32) * 0.1)
+    hb = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+    thk = jnp.asarray(rng.randn(1, 1, cin, C).astype(np.float32) * 0.1)
+    thb = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+    labels = jnp.asarray(rng.randint(0, 10, (b, h, w)).astype(np.int32))
+    valid = jnp.asarray(np.arange(C) < 12)
+    ov = jnp.asarray(np.arange(C) < 7)
+
+    def fused(raw, sc, sh, hk, hb):
+        ce, kd, _ = head_ce.head_cross_entropy_kd_packed_bn(
+            raw, sc, sh, hk, hb, traw, tsc, tsh, thk, thb, labels,
+            valid, ov, p=p, temperature=T)
+        return ce, kd
+
+    def comp(raw, sc, sh, hk, hb):
+        z = bn_relu_packed(raw, sc, sh, p).reshape(b, h, w, cin)
+        logits = (z @ hk.reshape(cin, C)) + hb
+        ce, _ = losses.cross_entropy(logits, labels, valid)
+        zt = bn_relu_packed(traw, tsc, tsh, p).reshape(b, h, w, cin)
+        tl = (zt @ thk.reshape(cin, C)) + thb
+        kd = losses.kd_loss_jnp(logits, tl, ov, labels, temperature=T)
+        return ce, kd
+
+    args = (raw, sc, sh, hk, hb)
+    got = jax.jit(fused)(*args)
+    want = jax.jit(comp)(*args)
+    np.testing.assert_allclose(float(got[0]), float(want[0]), rtol=2e-4)
+    np.testing.assert_allclose(float(got[1]), float(want[1]), atol=2e-4)
+
+    def scalar(fn):
+        return lambda *a: fn(*a)[0] + 0.7 * fn(*a)[1]
+
+    gk = jax.jit(jax.grad(scalar(fused), argnums=(0, 1, 2, 3, 4)))(*args)
+    go = jax.jit(jax.grad(scalar(comp), argnums=(0, 1, 2, 3, 4)))(*args)
+    for a_, b_ in zip(gk, go):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                   atol=2e-3, rtol=2e-3)
+
+
 # ---------------------------------------------------------------------------
 # Production-geometry gates: the 512² packed step, compiled end to end
 # ---------------------------------------------------------------------------
