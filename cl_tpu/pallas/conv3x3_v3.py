@@ -66,6 +66,13 @@ _VMEM_BUDGET_FUSED = int(_os.environ.get(
 # footprint.  Kept as a tested opt-in (DESIGN.md §8).
 _FUSE_BWD = _os.environ.get("CL_TPU_FUSE_BWD", "0") == "1"
 _ROW_TARGET = int(_os.environ.get("CL_TPU_ROW_TARGET", 8192))
+# Dot-schedule experiment (MFU push, r3): 0 = one dot per window piece
+# (5 dots in the combined layout); 1 = the three center pieces
+# lane-concatenated in-register and contracted in ONE
+# [rows, 3·lanes]@[3·lanes, out] dot (3 fewer MXU issues per tile at
+# the cost of one VPU concat of data already in VMEM); 2 = all five
+# pieces concatenated into a single [rows, 3k] dot.
+_CAT_DOTS = int(_os.environ.get("CL_TPU_CAT_DOTS", "0"))
 
 
 def _cparams():
@@ -329,6 +336,13 @@ def _conv_dots(vflat, w_ref, *, th, wg, lanes, k, c_in, dtype):
     pa, vbs, pc = _cat_pieces(vflat, th=th, wg=wg, lanes=lanes,
                               c_in=c_in, dtype=dtype)
     c3 = 3 * c_in
+    if _CAT_DOTS == 2:
+        xall = jnp.concatenate([pa] + vbs + [pc], axis=-1)
+        return dot(xall, 0, 3 * k)
+    if _CAT_DOTS == 1:
+        xb = jnp.concatenate(vbs, axis=-1)
+        return (dot(pa, 0, c3) + dot(xb, c3, c3 + 3 * lanes)
+                + dot(pc, 3 * k - c3, 3 * k))
     acc = dot(pa, 0, c3)
     for u in range(3):
         acc = acc + dot(vbs[u], c3 + u * lanes, c3 + (u + 1) * lanes)
@@ -358,6 +372,16 @@ def _dw_accum(vflat, dy2, acc, *, th, wg, lanes, k, c_in, dtype):
     pa, vbs, pc = _cat_pieces(vflat, th=th, wg=wg, lanes=lanes,
                               c_in=c_in, dtype=dtype)
     c3 = 3 * c_in
+    if _CAT_DOTS == 2:
+        xall = jnp.concatenate([pa] + vbs + [pc], axis=-1)
+        acc[0:3 * k] += dotT(xall)
+        return
+    if _CAT_DOTS == 1:
+        xb = jnp.concatenate(vbs, axis=-1)
+        acc[0:c3] += dotT(pa)
+        acc[c3:c3 + 3 * lanes] += dotT(xb)
+        acc[3 * k - c3:3 * k] += dotT(pc)
+        return
     acc[0:c3] += dotT(pa)
     for u in range(3):
         acc[c3 + u * lanes:c3 + (u + 1) * lanes] += dotT(vbs[u])

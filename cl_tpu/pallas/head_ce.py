@@ -45,10 +45,21 @@ LANES = 128
 BP = 8192  # pixels (lanes) per grid step
 
 
+def _dd(dtype):
+    """Dot-operand dtype: the compute dtype on TPU; f32 in interpret
+    mode. XLA:CPU's thunk runtime cannot execute bf16×bf16→f32 dots in
+    some lowering contexts (surfaced by the KD kernels in the CPU
+    dryrun). Operands are SEMANTICALLY rounded to the compute dtype
+    first, then upcast — products and f32 accumulation are identical to
+    the TPU MXU path, so results don't change."""
+    return jnp.float32 if common.interpret_mode() else dtype
+
+
 def _logits_tile(x_ref, wt_ref, b_ref):
     """[C, BP] f32 logit tile: Wᵀ·x on the MXU (f32 accumulation) + b."""
-    x = x_ref[:]                                       # [Cin, BP]
-    wt = wt_ref[:].astype(x.dtype)                     # [C, Cin]
+    dd = _dd(x_ref.dtype)
+    x = x_ref[:].astype(dd)                            # [Cin, BP]
+    wt = wt_ref[:].astype(x_ref.dtype).astype(dd)      # [C, Cin]
     z = jax.lax.dot_general(wt, x, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     return z + b_ref[:]                                # [C, BP] f32
@@ -98,11 +109,13 @@ def _bwd_kernel(ignore_index, x_ref, wt_ref, w_ref, b_ref, lbl_ref,
     # dlogits crosses the same dtype boundary as the unfused path (the
     # CE grad buffer is logits-dtype there), so the three matmuls below
     # see identical operand values.
-    gc = g.astype(x_ref.dtype)
+    dd = _dd(x_ref.dtype)
+    gc = g.astype(x_ref.dtype).astype(dd)
     dx_ref[:] = jax.lax.dot_general(
-        w_ref[:].astype(x_ref.dtype), gc, (((1,), (0,)), ((), ())),
+        w_ref[:].astype(x_ref.dtype).astype(dd), gc,
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dx_ref.dtype)
-    x = x_ref[:]
+    x = x_ref[:].astype(dd)
     dw_ref[:] += jax.lax.dot_general(
         gc, x, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -266,8 +279,9 @@ def _packed_from_cm(d, p, tn):
 
 def _cm_logits(xcm, wt_ref, b_ref, v_ref):
     """[C, cols] masked f32 logits from a class-major feature tile."""
-    wt = wt_ref[:].astype(xcm.dtype)
-    z = jax.lax.dot_general(wt, xcm, (((1,), (0,)), ((), ())),
+    dd = _dd(xcm.dtype)
+    wt = wt_ref[:].astype(xcm.dtype).astype(dd)
+    z = jax.lax.dot_general(wt, xcm.astype(dd), (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32) + b_ref[:]
     return jnp.where(v_ref[:] > 0, z, NEG_INF)
 
@@ -317,13 +331,15 @@ def _pkcm_bwd_kernel(ignore_index, p, x_ref, wt_ref, w_ref, b_ref,
     onehot = (row == lbl0).astype(jnp.float32)
     g = scale_ref[0, 0] * pix * (prob - onehot)
     g = jnp.where(valid_ref[:] > 0, g, 0.0)            # [C, tn*p] f32
-    gc = g.astype(x_ref.dtype)
+    dd = _dd(x_ref.dtype)
+    gc = g.astype(x_ref.dtype).astype(dd)
     dxcm = jax.lax.dot_general(
-        w_ref[:].astype(gc.dtype), gc, (((1,), (0,)), ((), ())),
+        w_ref[:].astype(x_ref.dtype).astype(dd), gc,
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dx_ref.dtype)
     dx_ref[...] = _packed_from_cm(dxcm, p, tn)
     dw_ref[:] += jax.lax.dot_general(
-        gc, xcm, (((1,), (1,)), ((), ())),
+        gc, xcm.astype(dd), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     db_ref[:] += jnp.sum(g, axis=1, keepdims=True)
 
@@ -494,9 +510,11 @@ def _pkbn_bwd_kernel(ignore_index, p, x_ref, s_ref, t_ref, wt_ref, w_ref,
     onehot = (row == lbl0).astype(jnp.float32)
     g = scale_ref[0, 0] * pix * (prob - onehot)
     g = jnp.where(valid_ref[:] > 0, g, 0.0)
-    gc = g.astype(x_ref.dtype)
+    dd = _dd(x_ref.dtype)
+    gc = g.astype(x_ref.dtype).astype(dd)
     dzcm = jax.lax.dot_general(
-        w_ref[:].astype(gc.dtype), gc, (((1,), (0,)), ((), ())),
+        w_ref[:].astype(x_ref.dtype).astype(dd), gc,
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     # rounding parity: the unfused head stores dz in the feature dtype
     dz = (_packed_from_cm(dzcm, p, tn).astype(x_ref.dtype)
@@ -506,7 +524,7 @@ def _pkbn_bwd_kernel(ignore_index, p, x_ref, s_ref, t_ref, wt_ref, w_ref,
     dst_ref[0:1, :] += common.colsum(du * yf)
     dst_ref[1:2, :] += common.colsum(du)
     dw_ref[:] += jax.lax.dot_general(
-        gc, xcm, (((1,), (1,)), ((), ())),
+        gc, xcm.astype(dd), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     db_ref[:] += jnp.sum(g, axis=1, keepdims=True)
 
@@ -704,11 +722,13 @@ def _kd_bwd_kernel(ignore_index, t, x_ref, wt_ref, w_ref, b_ref, xt_ref,
     ov = ovalid_ref[:]
     zt = _logits_tile(xt_ref, wtt_ref, bt_ref)
     g = g + gkd_ref[0, 0] * _kd_grad_tile(z, zt, pix, ov, t)
-    gc = g.astype(x_ref.dtype)
+    dd = _dd(x_ref.dtype)
+    gc = g.astype(x_ref.dtype).astype(dd)
     dx_ref[:] = jax.lax.dot_general(
-        w_ref[:].astype(x_ref.dtype), gc, (((1,), (0,)), ((), ())),
+        w_ref[:].astype(x_ref.dtype).astype(dd), gc,
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(dx_ref.dtype)
-    x = x_ref[:]
+    x = x_ref[:].astype(dd)
     dw_ref[:] += jax.lax.dot_general(
         gc, x, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -855,8 +875,9 @@ def _pkbn_kd_fwd_kernel(ignore_index, t, p, x_ref, s_ref, t_ref, wt_ref,
     ce_ref[0, 0] += jnp.sum((logz - picked) * pix)
     ztf = jnp.maximum(
         xt_ref[...].astype(jnp.float32) * st_ref[0] + tt_ref[0], 0.0)
-    xtcm = _cm_from_packed(ztf.astype(xt_ref.dtype), p, cin)
-    wtt = wtt_ref[:].astype(xtcm.dtype)
+    ddt = _dd(xt_ref.dtype)
+    xtcm = _cm_from_packed(ztf.astype(xt_ref.dtype), p, cin).astype(ddt)
+    wtt = wtt_ref[:].astype(xt_ref.dtype).astype(ddt)
     zt = jax.lax.dot_general(wtt, xtcm, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32) + bt_ref[:]
     kd_ref[0, 0] += _kd_sum_tile(z, zt, pix, ovalid_ref[:], t)
@@ -893,14 +914,17 @@ def _pkbn_kd_bwd_kernel(ignore_index, t, p, x_ref, s_ref, t_ref, wt_ref,
     g = jnp.where(valid_ref[:] > 0, g, 0.0)
     ztf = jnp.maximum(
         xt_ref[...].astype(jnp.float32) * st_ref[0] + tt_ref[0], 0.0)
-    xtcm = _cm_from_packed(ztf.astype(xt_ref.dtype), p, cin)
-    wtt = wtt_ref[:].astype(xtcm.dtype)
+    ddt = _dd(xt_ref.dtype)
+    xtcm = _cm_from_packed(ztf.astype(xt_ref.dtype), p, cin).astype(ddt)
+    wtt = wtt_ref[:].astype(xt_ref.dtype).astype(ddt)
     zt = jax.lax.dot_general(wtt, xtcm, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32) + bt_ref[:]
     g = g + gkd_ref[0, 0] * _kd_grad_tile(z, zt, pix, ovalid_ref[:], t)
-    gc = g.astype(x_ref.dtype)
+    dd = _dd(x_ref.dtype)
+    gc = g.astype(x_ref.dtype).astype(dd)
     dzcm = jax.lax.dot_general(
-        w_ref[:].astype(gc.dtype), gc, (((1,), (0,)), ((), ())),
+        w_ref[:].astype(x_ref.dtype).astype(dd), gc,
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     dz = (_packed_from_cm(dzcm, p, tn).astype(x_ref.dtype)
           .astype(jnp.float32))
@@ -909,7 +933,7 @@ def _pkbn_kd_bwd_kernel(ignore_index, t, p, x_ref, s_ref, t_ref, wt_ref,
     dst_ref[0:1, :] += common.colsum(du * yf)
     dst_ref[1:2, :] += common.colsum(du)
     dw_ref[:] += jax.lax.dot_general(
-        gc, xcm, (((1,), (1,)), ((), ())),
+        gc, xcm.astype(dd), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     db_ref[:] += jnp.sum(g, axis=1, keepdims=True)
 
