@@ -66,13 +66,16 @@ _VMEM_BUDGET_FUSED = int(_os.environ.get(
 # footprint.  Kept as a tested opt-in (DESIGN.md §8).
 _FUSE_BWD = _os.environ.get("CL_TPU_FUSE_BWD", "0") == "1"
 _ROW_TARGET = int(_os.environ.get("CL_TPU_ROW_TARGET", 8192))
-# Dot-schedule experiment (MFU push, r3): 0 = one dot per window piece
-# (5 dots in the combined layout); 1 = the three center pieces
-# lane-concatenated in-register and contracted in ONE
-# [rows, 3·lanes]@[3·lanes, out] dot (3 fewer MXU issues per tile at
-# the cost of one VPU concat of data already in VMEM); 2 = all five
-# pieces concatenated into a single [rows, 3k] dot.
-_CAT_DOTS = int(_os.environ.get("CL_TPU_CAT_DOTS", "0"))
+# Dot schedule (MFU push, r3): 1 (default) = the three center window
+# pieces lane-concatenated in-register and contracted in ONE
+# [rows, 3·lanes]@[3·lanes, out] dot — Mosaic issues back-to-back
+# same-shape dots without pipelining them (DESIGN.md §8 gen-2 head
+# lesson), so fewer/wider dots win: measured 186.2 → 188.2 img/s
+# (+1.1%, 3 bench samples each, tight) on the 512² headline. 0 = one
+# dot per piece (5 dots, the r2 schedule). 2 = all five pieces in a
+# single [rows, 3k] dot — Mosaic-rejected ("result/input offset
+# mismatch on non-concat dimension"): mixed-width concat unsupported.
+_CAT_DOTS = int(_os.environ.get("CL_TPU_CAT_DOTS", "1"))
 
 
 def _cparams():
