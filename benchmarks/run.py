@@ -121,14 +121,33 @@ def main() -> int:
     except OSError:
         rev = ""
 
+    # One-shot retry on transient device-relay error signatures (the
+    # same set bench.py retries): a relay blip mid-ladder should cost a
+    # rung re-run, not the whole ladder. Deterministic failures (OOM,
+    # shape errors) surface immediately.
+    _TRANSIENT = ("FAILED_PRECONDITION", "UNAVAILABLE",
+                  "DEADLINE_EXCEEDED", "INTERNAL")
+
     results = []
     blob = "[]"
     for c in args.configs.split(","):
         name = f"baseline_{c.strip()}"
         print(f"== {name} ==", file=sys.stderr)
-        results.append(run_config(name, quick=args.quick,
-                                  with_torch=args.torch,
-                                  overrides=args.overrides))
+        try:
+            row = run_config(name, quick=args.quick,
+                             with_torch=args.torch,
+                             overrides=args.overrides)
+        except Exception as e:
+            if not any(s in str(e) for s in _TRANSIENT) \
+                    or "Ran out of memory" in str(e):
+                raise
+            print(f"== {name} transient failure ({type(e).__name__}); "
+                  "retrying once ==", file=sys.stderr)
+            time.sleep(10)
+            row = run_config(name, quick=args.quick,
+                             with_torch=args.torch,
+                             overrides=args.overrides)
+        results.append(row)
         if rev:
             results[-1]["git_rev"] = rev
         if args.overrides:
