@@ -180,6 +180,52 @@ def test_grow_mode_narrow_heads(data):
                                    atol=1e-5, rtol=1e-4)
 
 
+def test_packed_bn_kd_p2_odd_classes():
+    """p=2 (the 64-ch pack factor) with a non-power-of-two class count
+    and a narrow teacher — the geometry baseline_2-style shapes would
+    hit if the envelope ever opens."""
+    rng = np.random.RandomState(7)
+    b, h, w, cin, p, C = 1, 8, 32, 64, 2, 11
+    raw = jnp.asarray(rng.randn(b, h, w // p, p * cin).astype(np.float32))
+    traw = jnp.asarray(rng.randn(b, h, w // p, p * cin).astype(np.float32))
+    sc = jnp.asarray(rng.rand(cin).astype(np.float32) + 0.5)
+    sh = jnp.asarray(rng.randn(cin).astype(np.float32) * 0.1)
+    tsc = jnp.asarray(rng.rand(cin).astype(np.float32) + 0.5)
+    tsh = jnp.asarray(rng.randn(cin).astype(np.float32) * 0.1)
+    hk = jnp.asarray(rng.randn(1, 1, cin, C).astype(np.float32) * 0.1)
+    hb = jnp.asarray(rng.randn(C).astype(np.float32) * 0.1)
+    thk = jnp.asarray(rng.randn(1, 1, cin, 6).astype(np.float32) * 0.1)
+    thb = jnp.asarray(rng.randn(6).astype(np.float32) * 0.1)
+    labels = jnp.asarray(rng.randint(0, 8, (b, h, w)).astype(np.int32))
+    valid = jnp.asarray(np.arange(C) < 8)
+    ov = jnp.asarray(np.arange(C) < 6)
+
+    def comp(raw, sc, sh, hk, hb):
+        z = bn_relu_packed(raw, sc, sh, p).reshape(b, h, w, cin)
+        logits = (z @ hk.reshape(cin, C)) + hb
+        ce, _ = losses.cross_entropy(logits, labels, valid)
+        zt = bn_relu_packed(traw, tsc, tsh, p).reshape(b, h, w, cin)
+        tl = jnp.pad((zt @ thk.reshape(cin, 6)) + thb,
+                     ((0, 0), (0, 0), (0, 0), (0, C - 6)))
+        kd = losses.kd_loss_jnp(logits, tl, ov, labels, temperature=2.0)
+        return ce + 0.7 * kd
+
+    def fused(raw, sc, sh, hk, hb):
+        ce, kd, _ = head_ce.head_cross_entropy_kd_packed_bn(
+            raw, sc, sh, hk, hb, traw, tsc, tsh, thk, thb, labels,
+            valid, ov, p=p, temperature=2.0)
+        return ce + 0.7 * kd
+
+    args = (raw, sc, sh, hk, hb)
+    np.testing.assert_allclose(float(fused(*args)), float(comp(*args)),
+                               rtol=1e-5)
+    gc = jax.grad(comp, argnums=(0, 1, 2, 3, 4))(*args)
+    gf = jax.grad(fused, argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b_ in zip(gf, gc):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_bf16_kd_close(data):
     """Production dtype: bf16 features through the packed_bn KD kernel
     track the f32 composition at bf16 tolerance."""
