@@ -50,8 +50,13 @@ from cl_tpu.pallas.conv3x3 import pick_pack, pack_weights, _fold_dw
 
 import os as _os
 
+# Self-imposed scoped-VMEM budget for conv tile sizing (_pick_th).
+# r3 sweep on the 512² headline: 12 MB (r2 default) 188.1 img/s,
+# 16 MB 190.7 (+1.3%, two samples; methods step 127.6 → 130.1),
+# 24 MB fails compile (upconv scoped-vmem stack overflows its 16 MB
+# Mosaic limit once conv tiles grow past it).
 _VMEM_BUDGET = int(_os.environ.get(
-    "CL_TPU_CONV_BUDGET", 12 * 1024 * 1024))  # Mosaic scoped-VMEM stack
+    "CL_TPU_CONV_BUDGET", 16 * 1024 * 1024))  # Mosaic scoped-VMEM stack
 # Raised scoped-VMEM ceiling passed to Mosaic (CompilerParams.
 # vmem_limit_bytes; v5e has 128 MB VMEM/core); None = the 16 MB default.
 # The single-pass fused backward kernel needs it — its budget below.
