@@ -149,8 +149,11 @@ def _write_last_verified(metric: str, value: float) -> None:
         pass
     rec[metric] = {"value": value, "rev": _git_rev(),
                    "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
-    with open(LAST_VERIFIED, "w") as f:
+    # Atomic: a crash mid-write must not lose the last-real-number history.
+    tmp = LAST_VERIFIED + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(rec, f, indent=1)
+    os.replace(tmp, LAST_VERIFIED)
 
 
 def _note(msg: str) -> None:
@@ -193,12 +196,14 @@ def _probe_device(warn_after: float = 60.0, fail_after: float = 300.0) -> None:
         finally:
             done.set()
 
+    # The probe thread stays daemon: if the relay wedges, the dispatch can
+    # never be cancelled — the leaked thread is the only clean exit.
     t = threading.Thread(target=_run, daemon=True)
     t0 = time.perf_counter()
     t.start()
     waited = 0.0
-    while not done.wait(timeout=warn_after):
-        waited += warn_after
+    while not done.wait(timeout=min(warn_after, max(0.0, fail_after - waited))):
+        waited = time.perf_counter() - t0
         if waited >= fail_after:
             raise RelayWedgedError(
                 f"device probe readback did not return within {waited:.0f}s "
@@ -370,10 +375,11 @@ def main() -> int:
     # instead of hanging into the driver's timeout.
     _TRANSIENT = ("FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED",
                   "INTERNAL")
-    try:
+
+    def _attempt(probe_fail_after: float) -> float:
         try:
-            _probe_device()
-            value = bench_jax(img, src, batch, methods, conv_impl, packed)
+            _probe_device(fail_after=probe_fail_after)
+            return bench_jax(img, src, batch, methods, conv_impl, packed)
         except RelayWedgedError:
             raise
         except Exception as e:
@@ -382,13 +388,36 @@ def main() -> int:
             print(f"# bench failed ({type(e).__name__}: {e}); retrying once",
                   file=sys.stderr)
             time.sleep(10)
-            _probe_device()
-            value = bench_jax(img, src, batch, methods, conv_impl, packed)
-    except RelayWedgedError as e:
+            _probe_device(fail_after=probe_fail_after)
+            return bench_jax(img, src, batch, methods, conv_impl, packed)
+
+    # Relay wedges (probe dispatch accepted, readback never returns) have
+    # recurred across judging sessions and are often transient on the scale
+    # of minutes. Recovery path: after the first 300 s fast-fail, back off
+    # and re-probe twice (+2 min, then +4 min; re-probes fail after 120 s)
+    # before emitting the structured error — total worst case ~14 min,
+    # with every wedge onset timestamped in the error detail.
+    wedge_onsets: list[str] = []
+    value = None
+    for i, (backoff, probe_to) in enumerate([(0, 300.0), (120, 120.0),
+                                             (240, 120.0)]):
+        if backoff:
+            _note(f"relay wedged — backing off {backoff}s before re-probe "
+                  f"cycle {i}/2")
+            time.sleep(backoff)
+        try:
+            value = _attempt(probe_to)
+            break
+        except RelayWedgedError as e:
+            wedge_onsets.append(time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                              time.gmtime()))
+            last_err = e
+    if value is None:
         print(json.dumps({
             "metric": metric, "value": None, "unit": "images/sec/chip",
             "vs_baseline": None, "error": "relay_readback_wedged",
-            "detail": str(e), "last_verified": _read_last_verified(metric),
+            "detail": str(last_err), "wedge_onsets_utc": wedge_onsets,
+            "last_verified": _read_last_verified(metric),
         }))
         return 1
 

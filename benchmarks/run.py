@@ -28,6 +28,30 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+_TORCH_MODS = None
+
+
+def _torch_mods():
+    """Import the torch oracle stack once per process (not per config /
+    per transient retry) and fail with a pointed message if the torch
+    extra is absent."""
+    global _TORCH_MODS
+    if _TORCH_MODS is None:
+        try:
+            import torch
+
+            from cl_tpu.interop import torch_state_dict_to_variables
+            from reference_impl.train import train as torch_train
+            from reference_impl.unet import UNet as TorchUNet
+        except ImportError as e:
+            raise SystemExit(
+                f"--torch needs the torch-CPU oracle stack ({e}); install "
+                "torch (CPU build is enough) or drop --torch") from e
+        _TORCH_MODS = (torch, torch_state_dict_to_variables, torch_train,
+                       TorchUNet)
+    return _TORCH_MODS
+
+
 def run_config(name: str, *, quick: bool, with_torch: bool,
                overrides: list[str] = ()) -> dict:
     import jax
@@ -61,12 +85,9 @@ def run_config(name: str, *, quick: bool, with_torch: bool,
         # its state dict, and hand it to the jax driver — miou_delta then
         # tracks the oracle trajectory instead of init luck (the same
         # machinery ab.py and tests/parity use).
-        import torch
-
         from cl_tpu.data import tasks as task_lib
-        from cl_tpu.interop import torch_state_dict_to_variables
-        from reference_impl.unet import UNet as TorchUNet
 
+        torch, torch_state_dict_to_variables, _, TorchUNet = _torch_mods()
         torch.manual_seed(cfg.train.seed)
         width0 = (cfg.data.num_classes if cfg.model.padded_head else
                   max(task_lib.seen_classes(cfg.classes_per_task, 0)) + 1)
@@ -88,8 +109,7 @@ def run_config(name: str, *, quick: bool, with_torch: bool,
         "images_per_sec_per_chip": report.get("images_per_sec_per_chip"),
     }
     if with_torch:
-        from reference_impl.train import train as torch_train
-
+        torch_train = _torch_mods()[2]
         t0 = time.perf_counter()
         tr = torch_train(cfg)
         out["torch_wall_seconds"] = round(time.perf_counter() - t0, 2)

@@ -263,7 +263,11 @@ def _preset_baseline_1() -> Config:
 
 
 def _preset_baseline_2() -> Config:
-    """UNet-64ch single-task 21-class VOC-style, 256², fused augmentation."""
+    """UNet-64ch single-task 21-class VOC-style, 256², fused augmentation.
+
+    Ships f32 for parity-protocol faithfulness with the torch-f32 oracle;
+    bf16 measures 301.2 vs 213.6 img/s at this shape (DESIGN.md §8 round
+    3b) — opt in with ``train.compute_dtype=bfloat16``."""
     return Config(
         data=DataConfig(dataset="synthetic_native", num_classes=21, image_size=256,
                         source_size=320, batch_size=8,

@@ -81,6 +81,12 @@ _ROW_TARGET = int(_os.environ.get("CL_TPU_ROW_TARGET", 8192))
 # single [rows, 3k] dot — Mosaic-rejected ("result/input offset
 # mismatch on non-concat dimension"): mixed-width concat unsupported.
 _CAT_DOTS = int(_os.environ.get("CL_TPU_CAT_DOTS", "1"))
+if _CAT_DOTS not in (0, 1):
+    raise ValueError(
+        f"CL_TPU_CAT_DOTS={_CAT_DOTS} unsupported: 2 (all five pieces in "
+        "one mixed-width dot) is rejected by Mosaic ('result/input offset "
+        "mismatch on non-concat dimension' — mixed-width lane concat is "
+        "unsupported); use 0 (five dots) or 1 (merged center dots, default)")
 
 
 def _cparams():

@@ -353,14 +353,16 @@ def _pick_rows(n: int, target: int = 2048) -> int:
     return n
 
 
-def _pkcm_prep(features, labels, p):
+def _pkcm_prep(features, labels, p, row_target=8192):
     """Packed features -> ([n, L] row view, permuted labels [1, n*p], n,
     tn).  The label permutation matches the kernel's u-major column
-    order per tile (see module comment)."""
+    order per tile (see module comment).  ``row_target`` sets the dot-row
+    tile budget; the KD path passes a smaller one (teacher tile + its f32
+    intermediates live in the same VMEM)."""
     lanes = features.shape[-1]
     x2 = features.reshape(-1, lanes)                   # [n, L] — free
     n = x2.shape[0]
-    tn = _pick_rows(n, target=max(8, 8192 // p))
+    tn = _pick_rows(n, target=max(8, row_target // p))
     lbl = labels.reshape(-1, p).astype(jnp.int32)      # [n, p] (w = g*p+u)
     lbl = (lbl.reshape(n // tn, tn, p).transpose(0, 2, 1)
            .reshape(1, n * p))                         # col = u*tn + r
@@ -939,16 +941,9 @@ def _pkbn_kd_bwd_kernel(ignore_index, t, p, x_ref, s_ref, t_ref, wt_ref,
 
 
 def _pkcm_prep_kd(features, labels, p):
-    """Like :func:`_pkcm_prep` but with a smaller row tile — the KD
-    kernels hold a teacher tile + its f32 intermediates too."""
-    lanes = features.shape[-1]
-    x2 = features.reshape(-1, lanes)
-    n = x2.shape[0]
-    tn = _pick_rows(n, target=max(8, 4096 // p))
-    lbl = labels.reshape(-1, p).astype(jnp.int32)
-    lbl = (lbl.reshape(n // tn, tn, p).transpose(0, 2, 1)
-           .reshape(1, n * p))
-    return x2, lbl, n, tn
+    """:func:`_pkcm_prep` at half the row-tile target — the KD kernels
+    hold a teacher tile + its f32 intermediates too."""
+    return _pkcm_prep(features, labels, p, row_target=4096)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
