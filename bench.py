@@ -218,7 +218,8 @@ def _probe_device(warn_after: float = 60.0, fail_after: float = 300.0) -> None:
 
 
 def bench_jax(img: int, src: int, batch: int, methods: bool,
-              conv_impl: str = "xla", packed: bool = True) -> float:
+              conv_impl: str = "xla", packed: bool = True,
+              act_store: str = "dtype") -> float:
     import numpy as np
     import jax.numpy as jnp
 
@@ -229,10 +230,10 @@ def bench_jax(img: int, src: int, batch: int, methods: bool,
     cfg = cfg.replace(train=cfg.train.__class__(
         **{**cfg.train.__dict__, "compute_dtype": "bfloat16",
            "data_parallel": False}))
-    if conv_impl != "xla" or packed:
+    if conv_impl != "xla" or packed or act_store != "dtype":
         cfg = cfg.replace(model=cfg.model.__class__(
             **{**cfg.model.__dict__, "conv_impl": conv_impl,
-               "packed_unet": packed}))
+               "packed_unet": packed, "conv_act_store": act_store}))
     if methods:
         rng = np.random.RandomState(7)
         host = [_widen(b, cfg.method.replay_batch, rng) for b in host]
@@ -342,6 +343,7 @@ def main() -> int:
     batch = BATCH
     conv_impl = "xla"
     packed = True
+    act_store = "dtype"
     for a in sys.argv:
         if a.startswith("--batch="):
             batch = int(a.split("=", 1)[1])
@@ -349,6 +351,8 @@ def main() -> int:
             conv_impl = a.split("=", 1)[1]
         if a.startswith("--packed="):
             packed = a.split("=", 1)[1].lower() in ("true", "1", "on")
+        if a.startswith("--act="):
+            act_store = a.split("=", 1)[1]  # dtype | int8
     key = _shape_key(img, batch, methods)
 
     cache = {}
@@ -362,7 +366,8 @@ def main() -> int:
     baseline = cache[key]
 
     suffix = ("_methods" if methods else "") + (
-        f"_{conv_impl}conv" if conv_impl != "xla" else "")
+        f"_{conv_impl}conv" if conv_impl != "xla" else "") + (
+        f"_{act_store}act" if act_store != "dtype" else "")
     metric = (f"train_images_per_sec_per_chip_unet{BASE_CH}_{img}px"
               f"_bf16{suffix}")
 
@@ -379,7 +384,8 @@ def main() -> int:
     def _attempt(probe_fail_after: float) -> float:
         try:
             _probe_device(fail_after=probe_fail_after)
-            return bench_jax(img, src, batch, methods, conv_impl, packed)
+            return bench_jax(img, src, batch, methods, conv_impl, packed,
+                             act_store)
         except RelayWedgedError:
             raise
         except Exception as e:
@@ -389,7 +395,8 @@ def main() -> int:
                   file=sys.stderr)
             time.sleep(10)
             _probe_device(fail_after=probe_fail_after)
-            return bench_jax(img, src, batch, methods, conv_impl, packed)
+            return bench_jax(img, src, batch, methods, conv_impl, packed,
+                             act_store)
 
     # Relay wedges (probe dispatch accepted, readback never returns) have
     # recurred across judging sessions and are often transient on the scale

@@ -102,6 +102,16 @@ class ModelConfig:
     # copy/layout — net 70.1→71.9 ms/step, so XLA stays the default
     # (DESIGN.md §8).
     upconv_impl: str = "xla"
+    # Saved-activation storage for the packed convs' backward (r4,
+    # pallas/conv3x3_v3.py conv_bn_fused_q): "dtype" = residuals in the
+    # compute dtype (exact); "int8" = forward epilogues quantize the
+    # saved activations to int8 with per-row scales and the dx/dW
+    # kernels dequantize in-register — forward output is EXACT, only
+    # gradients carry the ≤0.4%-of-row-absmax quantization noise
+    # (trajectory-gated: benchmarks/dtype_traj.py, PARITY.md "dtype
+    # trajectory"). Halves the backward's saved-tensor HBM streams —
+    # the step's dominant cost at 512² (DESIGN.md §8 int8 micro).
+    conv_act_store: str = "dtype"  # dtype | int8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -444,6 +444,19 @@ class PackedLevel(nn.Module):
     mode: str = "plain"
     dtype: Any = jnp.float32
     dp_axis: str | None = None  # psum BN stats over this axis (DP)
+    act_q: bool = False  # int8 saved-activation storage (conv_bn_fused_q)
+
+    def _conv(self, xp, xq, k, a_l, b_l, prologue):
+        """conv_bn_fused, with int8 saved-activation storage when
+        ``act_q`` (r4): returns ``(y, s1, s2, qpair | None)``.  ``xq``
+        is the producer conv's own (q, sc) pair for xp (intra-level
+        threading: conv0's y_q becomes conv1's xp residual) or None."""
+        from cl_tpu.pallas import conv3x3_v3 as pc3
+        if self.act_q and pc3.q_supported(xp.shape[2]):
+            return pc3.conv_bn_fused_q(xp, xq, k, a_l, b_l, self.p,
+                                       prologue)
+        y, s1, s2 = pc3.conv_bn_fused(xp, k, a_l, b_l, self.p, prologue)
+        return y, s1, s2, None
 
     @nn.compact
     def __call__(self, x, *, train: bool):
@@ -465,8 +478,8 @@ class PackedLevel(nn.Module):
             k0p = jnp.pad(k0, ((0, 0), (0, 0), (0, c_pad - 3), (0, 0)))
             ones0 = jnp.ones((self.p * c_pad,), jnp.float32)
             zeros0 = jnp.zeros((self.p * c_pad,), jnp.float32)
-            y0, s1z, s2z = pc3.conv_bn_fused(
-                xp0, k0p.astype(self.dtype), ones0, zeros0, self.p, False)
+            y0, s1z, s2z, q0 = self._conv(
+                xp0, None, k0p.astype(self.dtype), ones0, zeros0, False)
             n0 = y0.shape[0] * y0.shape[1] * y0.shape[2] * self.p
             sc0, sh0 = DeferredBatchNorm(f, self.p, dtype=self.dtype,
                                          dp_axis=self.dp_axis,
@@ -483,10 +496,10 @@ class PackedLevel(nn.Module):
             ku = k0[:, :, f:].astype(self.dtype)
             zeros_l = jnp.zeros((self.p * f,), jnp.float32)
             ones_l = jnp.ones((self.p * f,), jnp.float32)
-            ys, s1a, s2a = pc3.conv_bn_fused(skip_z, ks, ones_l, zeros_l,
-                                             self.p, False)
-            yu, s1b, s2b = pc3.conv_bn_fused(up_raw, ku, ones_l, zeros_l,
-                                             self.p, False)
+            ys, s1a, s2a, _ = self._conv(skip_z, None, ks, ones_l,
+                                         zeros_l, False)
+            yu, s1b, s2b, _ = self._conv(up_raw, None, ku, ones_l,
+                                         zeros_l, False)
             # stats of the SUM are not the sum of stats — recompute the
             # first-BN stats from the summed tensor (one fused in-kernel
             # pass; pallas/packed_eltwise.py).
@@ -498,9 +511,11 @@ class PackedLevel(nn.Module):
                                          name="bn0")(s1, s2, n,
                                                      train=train)
             k1 = Conv3x3Param(f, f, name="conv1")()
-            y2, s1c, s2c = pc3.conv_bn_fused(
-                yp, k1.astype(self.dtype), jnp.tile(sc0, self.p),
-                jnp.tile(sh0, self.p), self.p, True)
+            # yp comes from add_stats_packed, which has no q producer —
+            # conv1's xp residual stays in the compute dtype here.
+            y2, s1c, s2c, _ = self._conv(
+                yp, None, k1.astype(self.dtype), jnp.tile(sc0, self.p),
+                jnp.tile(sh0, self.p), True)
             n2 = y2.shape[0] * y2.shape[1] * y2.shape[2] * self.p
             sc1, sh1 = DeferredBatchNorm(f, self.p, dtype=self.dtype,
                                          dp_axis=self.dp_axis,
@@ -515,12 +530,13 @@ class PackedLevel(nn.Module):
         k0m = (Conv3x3Param(f, self.c_in, name="conv0")()
                if self.mode == "plain" else None)
         if self.mode == "plain":
-            y1, s1, s2 = pc3.conv_bn_fused(xp, k0m.astype(self.dtype),
-                                           a0, b0, self.p, prologue0)
+            # plain-level conv0's xp is the pool output (no q producer)
+            y1, s1, s2, q1 = self._conv(xp, None, k0m.astype(self.dtype),
+                                        a0, b0, prologue0)
         else:  # stem: conv1 is the only packed conv of the level
             k1 = Conv3x3Param(f, f, name="conv1")()
-            y1, s1, s2 = pc3.conv_bn_fused(xp, k1.astype(self.dtype),
-                                           a0, b0, self.p, prologue0)
+            y1, s1, s2, q1 = self._conv(xp, q0, k1.astype(self.dtype),
+                                        a0, b0, prologue0)
             n1 = y1.shape[0] * y1.shape[1] * y1.shape[2] * self.p
             sc1, sh1 = DeferredBatchNorm(f, self.p, dtype=self.dtype,
                                          dp_axis=self.dp_axis,
@@ -531,9 +547,11 @@ class PackedLevel(nn.Module):
         sc0, sh0 = DeferredBatchNorm(f, self.p, dtype=self.dtype,
                                      dp_axis=self.dp_axis, name="bn0")(s1, s2, n1, train=train)
         k1 = Conv3x3Param(f, f, name="conv1")()
-        y2, s1b, s2b = pc3.conv_bn_fused(
-            y1, k1.astype(self.dtype), jnp.tile(sc0, self.p),
-            jnp.tile(sh0, self.p), self.p, True)
+        # intra-level threading: conv0's (q, sc) pair replaces conv1's
+        # bf16 xp residual (y1 itself dies after this forward)
+        y2, s1b, s2b, _ = self._conv(
+            y1, q1, k1.astype(self.dtype), jnp.tile(sc0, self.p),
+            jnp.tile(sh0, self.p), True)
         n2 = y2.shape[0] * y2.shape[1] * y2.shape[2] * self.p
         sc1, sh1 = DeferredBatchNorm(f, self.p, dtype=self.dtype,
                                      dp_axis=self.dp_axis, name="bn1")(s1b, s2b, n2,
@@ -622,6 +640,8 @@ class UNet(nn.Module):
     upconv_impl: str = "xla"  # "xla" | "matmul" = einsum+pixel-shuffle
     packed: bool = False  # run leading levels fully lane-packed
     pool_tee: bool = True  # fuse the skip-cotangent add into pool bwd
+    act_q: bool = False  # int8 saved-activation storage in the packed
+    #                      convs' backward (model.conv_act_store=int8)
     dp_axis: str | None = None  # data-parallel shard_map axis: BN stats
     #                             psum over it (packed AND standard body)
 
@@ -686,7 +706,7 @@ class UNet(nn.Module):
             mode = "stem" if level == 0 else "plain"
             yp, sc, sh = PackedLevel(
                 feats, c_in, P, mode=mode, dtype=self.dtype,
-                dp_axis=self.dp_axis,
+                act_q=self.act_q, dp_axis=self.dp_axis,
                 name=f"enc{level}")(x if level == 0 else xp, train=train)
             with jax.named_scope(f"eltwise{level}"):
                 zp = bn_relu_apply(yp, sc, sh, P)
@@ -746,7 +766,7 @@ class UNet(nn.Module):
                             dtype=self.dtype, name=f"up{level}")(below_p)
             xp, dec_sc, dec_sh = PackedLevel(
                 feats, feats, P, mode="split", dtype=self.dtype,
-                dp_axis=self.dp_axis,
+                act_q=self.act_q, dp_axis=self.dp_axis,
                 name=f"dec{level}")((skips_p[level], up_p), train=train)
         if keep_packed:
             # raw last-conv output + its deferred BN vectors: the fused

@@ -96,6 +96,35 @@ def _cparams():
         vmem_limit_bytes=_VMEM_LIMIT)}
 
 
+# ---------------------------------------------------------------------------
+# int8 saved-activation storage (r4) — quantization primitives
+# ---------------------------------------------------------------------------
+
+_QMAX = 127.0
+
+
+def q_supported(wg: int) -> bool:
+    """int8 VMEM tiling on v5e is (32, 128): the packed view's sublane
+    dim ``wg`` must be a multiple of 32 for the kernels' flat
+    (th+4, wg, L) → ((th+4)·wg, L) collapse to stay layout-free on the
+    int8 scratch.  At 512² every packed level qualifies (wg 128/64/32);
+    at 256² the last level (wg 16) falls back to compute-dtype
+    residuals.  Interpret mode (CPU tests) has no tiling constraint."""
+    return wg % 32 == 0 or common.interpret_mode()
+
+
+def _quant_rows(yf3):
+    """Symmetric per-(image-row, lane) int8 quantization of a
+    (th, wg, L) f32 tile: returns (q int8 (th, wg, L), dequant scale
+    f32 (th, 1, L)).  Row granularity (not per-tile) so backward
+    kernels with a DIFFERENT tile height can slice/DMA scales with the
+    same row ranges as the data."""
+    m = jnp.max(jnp.abs(yf3), axis=1, keepdims=True)
+    inv = jnp.where(m > 0, _QMAX / m, 0.0)
+    q = jnp.clip(jnp.rint(yf3 * inv), -_QMAX, _QMAX).astype(jnp.int8)
+    return q, m * (1.0 / _QMAX)
+
+
 def _vmem_estimate(th, wg, lanes, k, p, c_out, itemsize) -> int:
     """Generous scoped-VMEM accounting for one grid step: double-buffered
     input scratch + double-buffered packed-weight block + output block +
@@ -635,8 +664,9 @@ def _zero_halo_rows(scratch, slot, *, nh, th):
         scratch[slot, th + 2] = jnp.zeros_like(scratch[slot, th + 2])
 
 
-def _fwd_bn_kernel(xp_ref, w_ref, a_ref, b_ref, y_ref, s_ref, scratch,
-                   sems, sacc, *, nh, th, wg, lanes, k, c_in, prologue):
+def _fwd_bn_body(xp_ref, w_ref, a_ref, b_ref, y_ref, s_ref, scratch,
+                 sems, sacc, qrefs, *, nh, th, wg, lanes, k, c_in,
+                 prologue):
     slot = _wait_dma_nozero(xp_ref, scratch, sems, nh=nh, th=th)
     if prologue:
         _apply_prologue(scratch, slot, a_ref, b_ref, xp_ref.dtype)
@@ -657,10 +687,36 @@ def _fwd_bn_kernel(xp_ref, w_ref, a_ref, b_ref, y_ref, s_ref, scratch,
     sacc[0:1] += jnp.sum(yf, axis=0, keepdims=True)
     sacc[1:2] += jnp.sum(yf * yf, axis=0, keepdims=True)
     y_ref[0] = yd.reshape(th, wg, y_ref.shape[-1])
+    if qrefs is not None:
+        # int8 saved-activation epilogue (r4): quantize the tile rows
+        # while they are still in registers — the extra HBM traffic is
+        # the 1-byte q write (+ tiny scales); the backward's y re-reads
+        # shrink 2× (VERDICT r3 next #1; DESIGN.md §8 int8 micro: the
+        # in-register int8→f32 upcast is free, −31% on the HBM-bound
+        # streaming shape).
+        yq_ref, sc_ref = qrefs
+        q, sc = _quant_rows(yf.reshape(th, wg, y_ref.shape[-1]))
+        yq_ref[0] = q
+        sc_ref[0] = sc
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
         s_ref[:] = sacc[:]
+
+
+def _fwd_bn_kernel(xp_ref, w_ref, a_ref, b_ref, y_ref, s_ref, scratch,
+                   sems, sacc, *, nh, th, wg, lanes, k, c_in, prologue):
+    _fwd_bn_body(xp_ref, w_ref, a_ref, b_ref, y_ref, s_ref, scratch,
+                 sems, sacc, None, nh=nh, th=th, wg=wg, lanes=lanes,
+                 k=k, c_in=c_in, prologue=prologue)
+
+
+def _fwd_bn_q_kernel(xp_ref, w_ref, a_ref, b_ref, y_ref, s_ref, yq_ref,
+                     sc_ref, scratch, sems, sacc, *, nh, th, wg, lanes,
+                     k, c_in, prologue):
+    _fwd_bn_body(xp_ref, w_ref, a_ref, b_ref, y_ref, s_ref, scratch,
+                 sems, sacc, (yq_ref, sc_ref), nh=nh, th=th, wg=wg,
+                 lanes=lanes, k=k, c_in=c_in, prologue=prologue)
 
 
 def _wait_dma_nozero(xp_ref, scratch, sems, *, nh, th):
@@ -705,7 +761,7 @@ def _dw_bn_kernel(xp_ref, dy_ref, a_ref, b_ref, dw_ref, scratch, sems,
         dw_ref[:] = acc[:]
 
 
-def _fwd_bn_impl(xp, w, a_l, b_l, p_force, prologue):
+def _fwd_bn_impl(xp, w, a_l, b_l, p_force, prologue, emit_q=False):
     b, h, wg_in, lanes_in = xp.shape
     c_in = w.shape[2]
     c_out = w.shape[-1]
@@ -714,31 +770,50 @@ def _fwd_bn_impl(xp, w, a_l, b_l, p_force, prologue):
                                         xp.dtype.itemsize, p_force)
     assert (wg_in, lanes_in) == (wg, lanes)
     wp = _pack_weights_v3(w, p)
-    y, s = pl.pallas_call(
-        functools.partial(_fwd_bn_kernel, nh=nh, th=th, wg=wg,
+    out_lanes = p * c_out
+    kern = _fwd_bn_q_kernel if emit_q else _fwd_bn_kernel
+    out_specs = [pl.BlockSpec((1, th, wg, out_lanes),
+                              lambda i: (i, 0, 0, 0)),
+                 pl.BlockSpec((2, out_lanes), lambda i: (0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((b * nh, th, wg, out_lanes),
+                                      xp.dtype),
+                 jax.ShapeDtypeStruct((2, out_lanes), jnp.float32)]
+    if emit_q:
+        out_specs += [pl.BlockSpec((1, th, wg, out_lanes),
+                                   lambda i: (i, 0, 0, 0)),
+                      pl.BlockSpec((1, th, 1, out_lanes),
+                                   lambda i: (i, 0, 0, 0))]
+        out_shape += [jax.ShapeDtypeStruct((b * nh, th, wg, out_lanes),
+                                           jnp.int8),
+                      jax.ShapeDtypeStruct((b * nh, th, 1, out_lanes),
+                                           jnp.float32)]
+    out = pl.pallas_call(
+        functools.partial(kern, nh=nh, th=th, wg=wg,
                           lanes=lanes, k=k, c_in=c_in, prologue=prologue),
         grid=(b * nh,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((3 * k, p * c_out), lambda i: (0, 0)),
+            pl.BlockSpec((3 * k, out_lanes), lambda i: (0, 0)),
             pl.BlockSpec((1, lanes), lambda i: (0, 0)),
             pl.BlockSpec((1, lanes), lambda i: (0, 0)),
         ],
-        out_specs=(pl.BlockSpec((1, th, wg, p * c_out),
-                                lambda i: (i, 0, 0, 0)),
-                   pl.BlockSpec((2, p * c_out), lambda i: (0, 0))),
-        out_shape=(jax.ShapeDtypeStruct((b * nh, th, wg, p * c_out),
-                                        xp.dtype),
-                   jax.ShapeDtypeStruct((2, p * c_out), jnp.float32)),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((2, th + 4, wg, lanes), xp.dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((2, p * c_out), jnp.float32),
+            pltpu.VMEM((2, out_lanes), jnp.float32),
         ],
         interpret=common.interpret_mode(),
         **_cparams(),
     )(xp, wp, a_l.reshape(1, -1), b_l.reshape(1, -1))
-    return y.reshape(b, h, wg, p * c_out), s[0], s[1]
+    y, s = out[0], out[1]
+    y = y.reshape(b, h, wg, out_lanes)
+    if not emit_q:
+        return y, s[0], s[1]
+    yq = out[2].reshape(b, h, wg, out_lanes)
+    ysc = out[3].reshape(b, h, 1, out_lanes)
+    return y, s[0], s[1], yq, ysc
 
 
 def _dw_bn_impl(xp, dyp4, c_in, a_l, b_l, p_force, prologue):
@@ -1290,3 +1365,353 @@ def _bwd_fused_impl(dy, y, xp, w_dx, ds1, ds2, a_l, b_l, p, prologue,
     c_out = lanes // p
     dw = _fold_dw(_unperm_dw(dwp, c_in, out_lanes), p, c_in, c_out)
     return (dxp.reshape(b, h, wg, out_lanes), ds[0], ds[1], dw)
+
+
+# ---------------------------------------------------------------------------
+# int8 saved-activation backward (r4): the two-kernel backward with the
+# SAVED tensors (y always; xp when the producer conv threaded its own q
+# output through the model) stored int8 + per-row scales, dequantized
+# in-register.  The cotangent dy and the dx output stay in the compute
+# dtype — only residual re-reads shrink.  VERDICT r3 next #1.
+# ---------------------------------------------------------------------------
+
+
+def _dy_eff_tile_q(sdy, syq, ssc, slot, s1_ref, s2_ref, dtype):
+    """e = dy + ds1 + 2·deq(y)·ds2 over the whole halo tile, with y
+    dequantized from the int8 scratch (per-row scales DMA'd with the
+    same halo ranges, so interior-boundary halo rows dequantize with
+    their OWN row's scale)."""
+    yv = syq[slot].astype(jnp.float32) * ssc[slot]
+    e = (sdy[slot].astype(jnp.float32) + s1_ref[:][0]
+         + 2.0 * yv * s2_ref[:][0])
+    sdy[slot] = e.astype(dtype)
+
+
+def _dx_q_kernel(*refs, nh, th, wg, lanes, k, c_in, epilogue, xq_mode):
+    it = iter(refs)
+    dy_hbm, yq_hbm, ysc_hbm = next(it), next(it), next(it)
+    if epilogue:
+        if xq_mode:
+            xqb_ref, xsc_ref = next(it), next(it)
+        else:
+            xb_ref = next(it)
+    w_ref, s1_ref, s2_ref = next(it), next(it), next(it)
+    if epilogue:
+        a_ref, b_ref = next(it), next(it)
+    dx_ref = next(it)
+    if epilogue:
+        ds_ref = next(it)
+    sdy, syq, ssc = next(it), next(it), next(it)
+    semd, semy, semsc = next(it), next(it), next(it)
+    acc2 = next(it, None)
+
+    slot = _wait_dma_nozero(dy_hbm, sdy, semd, nh=nh, th=th)
+    _wait_dma_nozero(yq_hbm, syq, semy, nh=nh, th=th)
+    _wait_dma_nozero(ysc_hbm, ssc, semsc, nh=nh, th=th)
+    _dy_eff_tile_q(sdy, syq, ssc, slot, s1_ref, s2_ref, dy_hbm.dtype)
+    _zero_halo_rows(sdy, slot, nh=nh, th=th)
+    i = pl.program_id(0)
+    if epilogue:
+        @pl.when(i == 0)
+        def _():
+            acc2[:] = jnp.zeros_like(acc2)
+
+    vflat = sdy[slot].reshape((th + 4) * wg, lanes)
+    acc = _conv_dots(vflat, w_ref, th=th, wg=wg, lanes=lanes, k=k,
+                     c_in=c_in, dtype=dy_hbm.dtype)
+    out_lanes = dx_ref.shape[-1]
+    if epilogue:
+        if xq_mode:
+            xb = (xqb_ref[0].astype(jnp.float32) * xsc_ref[0]).reshape(
+                th * wg, out_lanes)
+        else:
+            xb = xb_ref[0].reshape(th * wg, out_lanes).astype(jnp.float32)
+        uu = xb * a_ref[:][0] + b_ref[:][0]
+        du = jnp.where(uu > 0, acc, 0.0)
+        dx_ref[0] = (du * a_ref[:][0]).reshape(
+            th, wg, out_lanes).astype(dx_ref.dtype)
+        acc2[0:1] += jnp.sum(du * xb, axis=0, keepdims=True)
+        acc2[1:2] += jnp.sum(du, axis=0, keepdims=True)
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            ds_ref[:] = acc2[:]
+    else:
+        dx_ref[0] = acc.reshape(th, wg, out_lanes).astype(dx_ref.dtype)
+
+
+def _dx_q_impl(dy, yq, ysc, x_res, w_dx, ds1, ds2, a_l, b_l, p,
+               prologue, xq_mode):
+    """dx of the q backward; ``x_res`` is (xp_q, xp_sc) when ``xq_mode``
+    else the bf16/f32 xp.  Returns None when no tile fits (caller falls
+    back to the XLA-dequant path)."""
+    b, h, wg, lanes = dy.shape
+    c_in = w_dx.shape[2]
+    c_out = w_dx.shape[-1]
+    out_lanes = p * c_out
+    itemsize = dy.dtype.itemsize
+    k = (p + 2) * c_in
+    th = _pick_th_dx(h, wg, lanes, k, out_lanes, itemsize, prologue)
+    if th <= 0:
+        return None
+    nh = h // th
+    wp = _pack_weights_v3(w_dx, p)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)] * 3
+    args = [dy, yq, ysc]
+    if prologue:
+        if xq_mode:
+            xqb = x_res[0].reshape(b * nh, th, wg, out_lanes)
+            xscb = x_res[1].reshape(b * nh, th, 1, out_lanes)
+            in_specs += [
+                pl.BlockSpec((1, th, wg, out_lanes),
+                             lambda i: (i, 0, 0, 0)),
+                pl.BlockSpec((1, th, 1, out_lanes),
+                             lambda i: (i, 0, 0, 0)),
+            ]
+            args += [xqb, xscb]
+        else:
+            xb = x_res.reshape(b * nh, th, wg, out_lanes)
+            in_specs += [pl.BlockSpec((1, th, wg, out_lanes),
+                                      lambda i: (i, 0, 0, 0))]
+            args += [xb]
+    in_specs += [
+        pl.BlockSpec((3 * k, out_lanes), lambda i: (0, 0)),
+        pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+        pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+    ]
+    args += [wp, ds1.reshape(1, -1), ds2.reshape(1, -1)]
+    if prologue:
+        in_specs += [pl.BlockSpec((1, out_lanes), lambda i: (0, 0)),
+                     pl.BlockSpec((1, out_lanes), lambda i: (0, 0))]
+        args += [a_l.reshape(1, -1), b_l.reshape(1, -1)]
+    out_specs = [pl.BlockSpec((1, th, wg, out_lanes),
+                              lambda i: (i, 0, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((b * nh, th, wg, out_lanes),
+                                      dy.dtype)]
+    if prologue:
+        out_specs += [pl.BlockSpec((2, out_lanes), lambda i: (0, 0))]
+        out_shape += [jax.ShapeDtypeStruct((2, out_lanes), jnp.float32)]
+    scratch_shapes = [
+        pltpu.VMEM((2, th + 4, wg, lanes), dy.dtype),
+        pltpu.VMEM((2, th + 4, wg, lanes), jnp.int8),
+        pltpu.VMEM((2, th + 4, 1, lanes), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if prologue:
+        scratch_shapes += [pltpu.VMEM((2, out_lanes), jnp.float32)]
+    out = pl.pallas_call(
+        functools.partial(_dx_q_kernel, nh=nh, th=th, wg=wg, lanes=lanes,
+                          k=k, c_in=c_in, epilogue=prologue,
+                          xq_mode=xq_mode),
+        grid=(b * nh,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs) if prologue else out_specs[0],
+        out_shape=tuple(out_shape) if prologue else out_shape[0],
+        scratch_shapes=scratch_shapes,
+        interpret=common.interpret_mode(),
+        **_cparams(),
+    )(*args)
+    if prologue:
+        dxp, ds = out
+        return dxp.reshape(b, h, wg, out_lanes), ds[0], ds[1]
+    zeros = jnp.zeros((out_lanes,), jnp.float32)
+    return out.reshape(b, h, wg, out_lanes), zeros, zeros
+
+
+def _dw2_q_kernel(*refs, nh, th, wg, lanes, k, c_in, prologue, xq_mode):
+    it = iter(refs)
+    x_hbm = next(it)
+    xsc_hbm = next(it) if xq_mode else None
+    dyb_ref, yqb_ref, yscb_ref = next(it), next(it), next(it)
+    a_ref, b_ref, s1_ref, s2_ref = next(it), next(it), next(it), next(it)
+    dw_ref = next(it)
+    sx = next(it)
+    if xq_mode:
+        sxsc, tmp = next(it), next(it)
+    sems = next(it)
+    semsc = next(it) if xq_mode else None
+    acc = next(it)
+
+    slot = _wait_dma_nozero(x_hbm, sx, sems, nh=nh, th=th)
+    if xq_mode:
+        _wait_dma_nozero(xsc_hbm, sxsc, semsc, nh=nh, th=th)
+        deq = sx[slot].astype(jnp.float32) * sxsc[slot]
+        if prologue:
+            deq = jnp.maximum(deq * a_ref[:][0] + b_ref[:][0], 0.0)
+        tmp[0] = deq.astype(tmp.dtype)
+        tv = tmp
+        tslot = 0
+    else:
+        if prologue:
+            _apply_prologue(sx, slot, a_ref, b_ref, x_hbm.dtype)
+        tv = sx
+        tslot = slot
+    _zero_halo_rows(tv, tslot, nh=nh, th=th)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc[:] = jnp.zeros_like(acc)
+
+    vflat = tv[tslot].reshape((th + 4) * wg, lanes)
+    yv = yqb_ref[0].astype(jnp.float32) * yscb_ref[0]
+    e = (dyb_ref[0].astype(jnp.float32) + s1_ref[:][0]
+         + 2.0 * yv * s2_ref[:][0]).astype(tv.dtype)
+    dy2 = e.reshape(th * wg, dyb_ref.shape[-1])
+    _dw_accum(vflat, dy2, acc, th=th, wg=wg, lanes=lanes, k=k,
+              c_in=c_in, dtype=tv.dtype)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        dw_ref[:] = acc[:]
+
+
+def _dw2_q_impl(x_res, dy, yq, ysc, c_in, a_l, b_l, ds1, ds2, p_force,
+                prologue, xq_mode, compute_dtype):
+    """dW of the q backward: dy_eff recomputed from (dy, int8 y), and t
+    recomputed from xp — itself int8-dequantized when ``xq_mode``."""
+    if xq_mode:
+        xq, xsc = x_res
+        b, h, wg_in, lanes_in = xq.shape
+    else:
+        b, h, wg_in, lanes_in = x_res.shape
+    wid = wg_in * lanes_in // c_in
+    c_out = dy.shape[-1] // (lanes_in // c_in)
+    p = p_force or pick_pack(c_in, c_out)
+    wg = wid // p
+    lanes = p * c_in
+    k = (p + 2) * c_in
+    th = _pick_th_dw2(h, wg, lanes, k, p, c_out,
+                      jnp.dtype(compute_dtype).itemsize)
+    if th <= 0:
+        return None
+    nh = h // th
+    assert (wg_in, lanes_in) == (wg, lanes)
+    dyb = dy.reshape(b * nh, th, wg, p * c_out)
+    yqb = yq.reshape(b * nh, th, wg, p * c_out)
+    yscb = ysc.reshape(b * nh, th, 1, p * c_out)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    args = [xq if xq_mode else x_res]
+    scratch_shapes = []
+    if xq_mode:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)]
+        args += [xsc]
+    in_specs += [
+        pl.BlockSpec((1, th, wg, p * c_out), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((1, th, wg, p * c_out), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((1, th, 1, p * c_out), lambda i: (i, 0, 0, 0)),
+        pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+        pl.BlockSpec((1, lanes), lambda i: (0, 0)),
+        pl.BlockSpec((1, p * c_out), lambda i: (0, 0)),
+        pl.BlockSpec((1, p * c_out), lambda i: (0, 0)),
+    ]
+    args += [dyb, yqb, yscb, a_l.reshape(1, -1), b_l.reshape(1, -1),
+             ds1.reshape(1, -1), ds2.reshape(1, -1)]
+    if xq_mode:
+        scratch_shapes += [
+            pltpu.VMEM((2, th + 4, wg, lanes), jnp.int8),
+            pltpu.VMEM((2, th + 4, 1, lanes), jnp.float32),
+            pltpu.VMEM((1, th + 4, wg, lanes), compute_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        scratch_shapes += [
+            pltpu.VMEM((2, th + 4, wg, lanes), compute_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    scratch_shapes += [pltpu.VMEM((3 * k, p * c_out), jnp.float32)]
+    dwp = pl.pallas_call(
+        functools.partial(_dw2_q_kernel, nh=nh, th=th, wg=wg,
+                          lanes=lanes, k=k, c_in=c_in, prologue=prologue,
+                          xq_mode=xq_mode),
+        grid=(b * nh,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((3 * k, p * c_out), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((3 * k, p * c_out), jnp.float32),
+        scratch_shapes=scratch_shapes,
+        interpret=common.interpret_mode(),
+        **_cparams(),
+    )(*args)
+    return _fold_dw(_unperm_dw(dwp, c_in, lanes), p, c_in, c_out)
+
+
+def _deq(q, sc, dtype):
+    """XLA-side dequantize (fallback / oracle path)."""
+    return (q.astype(jnp.float32) * sc).astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def conv_bn_fused_q(xp, xq, w, a_l, b_l, p, prologue):
+    """:func:`conv_bn_fused` with int8 saved-activation storage: returns
+    ``(y, s1, s2, (y_q, y_sc))``.  The backward saves (y_q, y_sc) —
+    NOT y — and, when ``xq`` (the producer conv's own ``(q, sc)`` pair
+    for xp) is given, drops the bf16 xp residual too.  The forward
+    compute is IDENTICAL to conv_bn_fused (y is exact); only gradients
+    pick up the ≤0.4%-of-row-absmax dequantization noise — gated by the
+    dtype-trajectory harness (benchmarks/dtype_traj.py, PARITY.md)."""
+    out = _fwd_bn_impl(xp, w, a_l, b_l, p, prologue, emit_q=True)
+    y, s1, s2, yq, ysc = out
+    return y, s1, s2, (yq, ysc)
+
+
+def _cbfq_fwd(xp, xq, w, a_l, b_l, p, prologue):
+    y, s1, s2, yq, ysc = _fwd_bn_impl(xp, w, a_l, b_l, p, prologue,
+                                      emit_q=True)
+    res = (xq, None if xq is not None else xp, w, a_l, b_l, yq, ysc)
+    return (y, s1, s2, (yq, ysc)), res
+
+
+def _cbfq_bwd(p, prologue, res, cots):
+    xq, xp_plain, w, a_l, b_l, yq, ysc = res
+    dy, ds1, ds2, _ = cots          # (y_q, y_sc) cotangents are zeros
+    xq_mode = xq is not None
+    c_in = w.shape[2]
+    w_dx = jnp.flip(w, (0, 1)).swapaxes(2, 3)
+    compute_dtype = dy.dtype
+    x_res = xq if xq_mode else xp_plain
+    r = _dx_q_impl(dy, yq, ysc, x_res, w_dx, ds1, ds2, a_l, b_l, p,
+                   prologue, xq_mode)
+    rw = None
+    if r is not None:
+        rw = _dw2_q_impl(x_res, dy, yq, ysc, c_in, a_l, b_l, ds1, ds2,
+                         p, prologue, xq_mode, compute_dtype)
+    if r is None or rw is None:
+        # No tile fits (deep/wide f32 shapes): XLA-dequantize the saved
+        # tensors once and take the plain fallback path.
+        y = _deq(yq, ysc, compute_dtype)
+        xp_full = (_deq(xq[0], xq[1], compute_dtype) if xq_mode
+                   else xp_plain)
+        ds1b, ds2b = jax.lax.optimization_barrier((ds1, ds2))
+        dy_eff = (dy.astype(jnp.float32) + ds1b
+                  + 2.0 * y.astype(jnp.float32) * ds2b
+                  ).astype(compute_dtype)
+        dt = _fwd_packed(dy_eff, w_dx, p)
+        dw = _dw_bn_impl(xp_full, dy_eff, c_in, a_l, b_l, p, prologue)
+        dw = dw.astype(w.dtype)
+        if prologue:
+            a_b, b_b = jax.lax.optimization_barrier((a_l, b_l))
+            xf = xp_full.astype(jnp.float32)
+            u = xf * a_b + b_b
+            du = jnp.where(u > 0, dt.astype(jnp.float32), 0.0)
+            dxp = (du * a_b).astype(compute_dtype)
+            da_l = jnp.sum(du * xf, axis=(0, 1, 2))
+            db_l = jnp.sum(du, axis=(0, 1, 2))
+        else:
+            dxp = dt.astype(compute_dtype)
+            da_l = jnp.zeros_like(a_l)
+            db_l = jnp.zeros_like(b_l)
+    else:
+        dxp, da_l, db_l = r
+        dw = rw.astype(w.dtype)
+        if not prologue:
+            da_l = jnp.zeros_like(a_l)
+            db_l = jnp.zeros_like(b_l)
+    dxq = ((np.zeros(xq[0].shape, jax.dtypes.float0),
+            jnp.zeros_like(xq[1])) if xq_mode else None)
+    return dxp, dxq, dw, da_l, db_l
+
+
+conv_bn_fused_q.defvjp(_cbfq_fwd, _cbfq_bwd)

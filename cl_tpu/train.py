@@ -79,6 +79,7 @@ def build_model(cfg: Config, head_width: int | None = None) -> UNet:
                 conv_impl=cfg.model.conv_impl,
                 upconv_impl=cfg.model.upconv_impl,
                 pool_tee=cfg.model.pool_tee,
+                act_q=(cfg.model.conv_act_store == "int8"),
                 packed=(cfg.model.packed_unet
                         and (cfg.model.packed_min_size == 0
                              or (cfg.data.image_size
