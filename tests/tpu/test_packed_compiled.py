@@ -463,3 +463,69 @@ def test_packed_epoch_scan_512_compiled():
                        "train.num_tasks=1", "train.epochs_per_task=1"])
     report = train(cfg)
     assert np.isfinite(report["final_per_task_miou"]).all()
+
+
+def test_conv_bn_fused_q_compiled():
+    """int8 saved-activation storage (r4) compiled on chip at a
+    production-like geometry (wg=64 ≥ the 32-sublane int8 tiling gate):
+    forward bit-equal to the exact kernel, q pair matching the per-row
+    reference quantizer, and the threaded two-conv chain's gradients
+    within quantization-noise tolerance of the exact chain."""
+    rng = np.random.RandomState(2)
+    b, h, wid, ci, co = 1, 64, 256, 32, 32
+    p = v3.pick_pack(ci, co)
+    wg = wid // p
+    assert v3.q_supported(wg)
+    x = _rand((b, h, wg, p * ci), jnp.bfloat16, seed=1)
+    w0 = jnp.asarray(rng.randn(3, 3, ci, co).astype(np.float32)
+                     * 0.2).astype(jnp.bfloat16)
+    w1 = jnp.asarray(np.random.RandomState(3).randn(3, 3, co, co)
+                     .astype(np.float32) * 0.2).astype(jnp.bfloat16)
+    a = jnp.asarray(rng.rand(p * ci).astype(np.float32) + 0.5)
+    bb = jnp.asarray(rng.randn(p * ci).astype(np.float32) * 0.1)
+    zeros = jnp.zeros((p * ci,), jnp.float32)
+    ones = jnp.ones((p * ci,), jnp.float32)
+    dy = _rand((b, h, wg, p * co), jnp.bfloat16, seed=5)
+
+    # forward exactness + quantizer contract
+    y0, s10, s20 = jax.jit(
+        lambda x, w: v3.conv_bn_fused(x, w, ones, zeros, p, False)
+    )(x, w0)
+    y, s1, s2, (yq, ysc) = jax.jit(
+        lambda x, w: v3.conv_bn_fused_q(x, None, w, ones, zeros, p,
+                                        False))(x, w0)
+    np.testing.assert_array_equal(
+        np.asarray(y.astype(jnp.float32)),
+        np.asarray(y0.astype(jnp.float32)))
+    yf = np.asarray(y.astype(jnp.float32))
+    m = np.abs(yf).max(axis=2, keepdims=True)
+    np.testing.assert_allclose(np.asarray(ysc), m / 127.0,
+                               rtol=1e-5, atol=1e-8)
+    err = np.abs(np.asarray(yq, np.float32) * np.asarray(ysc) - yf)
+    assert (err <= np.broadcast_to(np.asarray(ysc) * 0.5 + 1e-6,
+                                   err.shape)).all()
+
+    # threaded chain grads vs the exact chain
+    def f_q(x, w0, w1):
+        y1, _, _, q1 = v3.conv_bn_fused_q(x, None, w0, ones, zeros, p,
+                                          False)
+        y2, s1b, _, _ = v3.conv_bn_fused_q(y1, q1, w1, a, bb, p, True)
+        return (jnp.sum(y2.astype(jnp.float32)
+                        * dy.astype(jnp.float32))
+                + jnp.sum(s1b) * 0.1)
+
+    def f_p(x, w0, w1):
+        y1, _, _ = v3.conv_bn_fused(x, w0, ones, zeros, p, False)
+        y2, s1b, _ = v3.conv_bn_fused(y1, w1, a, bb, p, True)
+        return (jnp.sum(y2.astype(jnp.float32)
+                        * dy.astype(jnp.float32))
+                + jnp.sum(s1b) * 0.1)
+
+    gq = jax.jit(jax.grad(f_q, argnums=(0, 1, 2)))(x, w0, w1)
+    gp = jax.jit(jax.grad(f_p, argnums=(0, 1, 2)))(x, w0, w1)
+    for name, u, v in zip(("gx", "gw0", "gw1"), gq, gp):
+        u = np.asarray(u.astype(jnp.float32))
+        v = np.asarray(v.astype(jnp.float32))
+        rms = (np.sqrt(((u - v) ** 2).mean())
+               / (np.sqrt((v ** 2).mean()) + 1e-9))
+        assert rms < 8e-2, f"{name} rms rel gap {rms}"
