@@ -117,6 +117,14 @@ def run_config(name: str, *, quick: bool, with_torch: bool,
         out["torch_images_per_sec"] = tr.get("images_per_sec_per_chip")
         out["miou_delta"] = out["mean_final_miou"] - tr["mean_final_miou"]
         out["note"] = "shared initial weights (train(init_variables=...))"
+        if quick and cfg.train.num_tasks >= 5:
+            # 5 tasks of f32-TPU vs f32-CPU rounding compound chaotically
+            # at the 2-epoch/48-image quick budget: ±0.07 spread that
+            # flips sign with the seed (BASELINE.md "Quick ladder").
+            # The acceptance gate is the deterministic matched-arithmetic
+            # trajectory suite (tests/parity) + the 512² shared-weights
+            # rungs (PARITY.md), not this cell.
+            out["miou_delta_below_noise_floor"] = True
         if tr.get("images_per_sec_per_chip"):
             out["speedup_vs_torch_cpu"] = (
                 out["images_per_sec_per_chip"] / tr["images_per_sec_per_chip"])

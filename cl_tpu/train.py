@@ -1152,6 +1152,7 @@ def _train_impl(cfg: Config, logger, init_variables=None) -> dict:
 
     bs = sharding.batch_sharding(mesh) if mesh is not None else None
     step_times: list[tuple[float, int]] = []  # (epoch seconds, steps)
+    eval_times: list[tuple[float, int]] = []  # (eval-pass seconds, images)
 
     for task_id in range(start_task, T):
         seen = task_lib.seen_classes(splits, task_id)
@@ -1163,8 +1164,10 @@ def _train_impl(cfg: Config, logger, init_variables=None) -> dict:
             """Task k's val mIoU among currently-seen classes — through
             the plan-driven cache or the host pipeline."""
             if not dev_cache:
-                return evaluate_task(cfg, eval_step, state, k, seen_valid,
-                                     mesh=mesh)
+                r = evaluate_task(cfg, eval_step, state, k, seen_valid,
+                                  mesh=mesh)
+                r["n_images"] = len(pipeline.make_datasets(cfg, k)[1])
+                return r
             from cl_tpu.data import cached_exec
             if ("val", k) not in caches:
                 from cl_tpu.data.device_cache import DeviceDatasetCache
@@ -1190,7 +1193,9 @@ def _train_impl(cfg: Config, logger, init_variables=None) -> dict:
                     conf, s = ev(conf, s, state.params, state.model_state,
                                  vcache.images, vcache.masks, vplan.idx,
                                  vplan.pad, valid_dev)
-            return eval_result(cfg, conf, k)
+            r = eval_result(cfg, conf, k)
+            r["n_images"] = int(vcache.n)
+            return r
 
         if grow:
             w = task_head_width(cfg, task_id)
@@ -1311,11 +1316,15 @@ def _train_impl(cfg: Config, logger, init_variables=None) -> dict:
                            miou=r["miou"])
 
         # ---- eval over all seen tasks (SURVEY.md §3.1) ----
+        t_eval = time.perf_counter()
+        n_eval_imgs = 0
         for k in range(task_id + 1):
             res = _eval_task(k)
             miou_matrix[task_id, k] = res["miou"]
+            n_eval_imgs += int(res.get("n_images") or 0)
             logger.log(event="eval", after_task=task_id, task=k,
                        miou=res["miou"])
+        eval_times.append((time.perf_counter() - t_eval, n_eval_imgs))
 
         # ---- after-task hooks (SURVEY.md §3.1) ----
         if fisher_step is not None and task_id < T - 1:
@@ -1386,6 +1395,16 @@ def _train_impl(cfg: Config, logger, init_variables=None) -> dict:
         if total_s > 0 and total_steps > 0:
             report["images_per_sec_per_chip"] = float(
                 gb * total_steps / total_s / n_dev)
+    if eval_times:
+        # Exclude the first eval pass when there are several (it carries
+        # the eval program's compile, like the step path's first epoch).
+        rows = eval_times[1:] if len(eval_times) > 1 else eval_times
+        e_s = sum(t for t, _ in rows)
+        e_n = sum(n for _, n in rows)
+        n_dev = mesh.devices.size if mesh is not None else 1
+        if e_s > 0 and e_n > 0:
+            report["eval_images_per_sec_per_chip"] = float(
+                e_n / e_s / n_dev)
     logger.log(event="done", **{k: v for k, v in report.items()
                                 if k != "miou_matrix"})
     return report
