@@ -641,10 +641,27 @@ conv3x3.defvjp(_conv_fwd, _conv_bwd)
 # prologue chain (mask·a, da, db) as jnp elementwise/reduces.
 
 
+def _ew_dtype(dtype):
+    """Elementwise-chain dtype for the full-tile VPU passes (prologue
+    recompute, dy_eff formation).  f32 math on bf16-tiled data costs
+    ~2× VPU (upcast + double register pressure); under CL_TPU_E_BF16
+    the bf16 kernels run those chains natively in bf16 — the stored
+    result was cast to bf16 anyway, so only intermediate rounding
+    changes (bf16-gated tests + the dtype-trajectory harness cover
+    it).  f32 kernels always keep f32 (parity suite exactness)."""
+    if _E_BF16 and jnp.dtype(dtype) == jnp.bfloat16:
+        return jnp.bfloat16
+    return jnp.float32
+
+
+_E_BF16 = _os.environ.get("CL_TPU_E_BF16", "0") == "1"
+
+
 def _apply_prologue(scratch, slot, a_ref, b_ref, dtype):
-    t = (scratch[slot].astype(jnp.float32) * a_ref[:][0]
-         + b_ref[:][0])
-    scratch[slot] = jnp.maximum(t, 0.0).astype(dtype)
+    ew = _ew_dtype(dtype)
+    t = (scratch[slot].astype(ew) * a_ref[:][0].astype(ew)
+         + b_ref[:][0].astype(ew))
+    scratch[slot] = jnp.maximum(t, jnp.zeros((), ew)).astype(dtype)
 
 
 def _zero_halo_rows(scratch, slot, *, nh, th):
@@ -1007,8 +1024,10 @@ def _dy_eff_tile(sdy, syv, slot, s1_ref, s2_ref, dtype):
     """e = dy + ds1 + 2·y·ds2 on the whole scratch tile (halo rows
     included — e is positionwise, so real neighbour rows transform
     correctly and out-of-image rows are zeroed afterwards)."""
-    e = (sdy[slot].astype(jnp.float32) + s1_ref[:][0]
-         + 2.0 * syv[slot].astype(jnp.float32) * s2_ref[:][0])
+    ew = _ew_dtype(dtype)
+    e = (sdy[slot].astype(ew) + s1_ref[:][0].astype(ew)
+         + jnp.asarray(2.0, ew) * syv[slot].astype(ew)
+         * s2_ref[:][0].astype(ew))
     sdy[slot] = e.astype(dtype)
 
 
@@ -1148,9 +1167,10 @@ def _dw_bn2_kernel(xp_hbm, dy_ref, yv_ref, a_ref, b_ref, s1_ref, s2_ref,
         acc[:] = jnp.zeros_like(acc)
 
     vflat = scratch[slot].reshape((th + 4) * wg, lanes)
-    e = (dy_ref[0].astype(jnp.float32) + s1_ref[:][0]
-         + 2.0 * yv_ref[0].astype(jnp.float32) * s2_ref[:][0]
-         ).astype(xp_hbm.dtype)
+    ew = _ew_dtype(xp_hbm.dtype)
+    e = (dy_ref[0].astype(ew) + s1_ref[:][0].astype(ew)
+         + jnp.asarray(2.0, ew) * yv_ref[0].astype(ew)
+         * s2_ref[:][0].astype(ew)).astype(xp_hbm.dtype)
     dy2 = e.reshape(th * wg, dy_ref.shape[-1])
     _dw_accum(vflat, dy2, acc, th=th, wg=wg, lanes=lanes, k=k,
               c_in=c_in, dtype=xp_hbm.dtype)
