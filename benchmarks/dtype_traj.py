@@ -59,6 +59,10 @@ def build_base_cfg(args):
                  f"data.val_images_per_task={max(8, args.images // 4)}"]
     if args.epochs:
         over += [f"train.epochs_per_task={args.epochs}"]
+    # Extra base overrides (applied to EVERY variant row, so deltas stay
+    # apples-to-apples) — e.g. model.packed_min_size=0 so the packed
+    # body (the int8 storage's domain) engages at sub-256² shapes.
+    over += list(args.over or [])
     return parse_overrides(over, base=cfg)
 
 
@@ -129,6 +133,8 @@ def main() -> int:
     p.add_argument("--images", type=int, default=0)
     p.add_argument("--epochs", type=int, default=0)
     p.add_argument("--variants", default="bf16")
+    p.add_argument("--over", nargs="*", default=[],
+                   help="extra section.key=value base overrides")
     p.add_argument("--out", default="")
     args = p.parse_args()
 

@@ -107,6 +107,8 @@ def run_config(name: str, *, quick: bool, with_torch: bool,
         "final_per_task_miou": report["final_per_task_miou"],
         "mean_forgetting": report["mean_forgetting"],
         "images_per_sec_per_chip": report.get("images_per_sec_per_chip"),
+        "eval_images_per_sec_per_chip": report.get(
+            "eval_images_per_sec_per_chip"),
     }
     if with_torch:
         torch_train = _torch_mods()[2]
