@@ -147,8 +147,20 @@ def _write_last_verified(metric: str, value: float) -> None:
             rec = json.load(f)
     except Exception:
         pass
-    rec[metric] = {"value": value, "rev": _git_rev(),
-                   "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+    prev = rec.get(metric) or {}
+    entry = {"value": value, "rev": _git_rev(),
+             "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+    # Keep a short history: the device relay behind this box has been
+    # observed to RESTART with a different compile path mid-round
+    # (2026-08-21: the same rev measured 190.7 then 141.5 img/s hours
+    # apart) — a single overwritten scalar hides such environment
+    # swings from the artifact chain.
+    hist = (prev.get("history") or [])[-9:]
+    if prev.get("value") is not None:
+        hist = hist + [{k: prev[k] for k in ("value", "rev", "utc")
+                        if k in prev}]
+    entry["history"] = hist
+    rec[metric] = entry
     # Atomic: a crash mid-write must not lose the last-real-number history.
     tmp = LAST_VERIFIED + ".tmp"
     with open(tmp, "w") as f:

@@ -149,6 +149,15 @@ class TrainConfig:
     momentum: float = 0.9
     weight_decay: float = 0.0
     compute_dtype: str = "float32"  # float32 | bfloat16 (params stay f32)
+    # Per-level rematerialization (jax.checkpoint via nn.remat on every
+    # UNet level): only level-boundary activations stay resident for the
+    # backward; each level's internals are recomputed. Trades ~⅓ more
+    # forward FLOPs for the level-internal share of activation HBM —
+    # the knob that fits batch-9 512² training inside one 16 GB chip
+    # when a compiler generation holds ~20 GB of step temps live
+    # (DESIGN.md §8 round 4c). Bit-identical results (remat is a
+    # scheduling transform, not an arithmetic one).
+    remat: bool = False
     seed: int = 0
     checkpoint_dir: str = ""  # empty = no checkpointing
     resume: bool = False

@@ -308,7 +308,9 @@ class DoubleConv(nn.Module):
     dp_axis: str | None = None  # BatchNorm axis_name under DP shard_map
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool = False):
+        # ``train`` is positional-or-keyword so nn.remat can mark it
+        # static (static_argnums=(2,)) under train.remat.
         if (self.conv_impl in ("v3", "auto") and self.norm == "batch"
                 and self.dp_axis is None):
             geo = packed_level_geometry(x.shape[1], x.shape[2],
@@ -459,7 +461,8 @@ class PackedLevel(nn.Module):
         return y, s1, s2, None
 
     @nn.compact
-    def __call__(self, x, *, train: bool):
+    def __call__(self, x, train: bool = False):
+        # positional-or-keyword ``train``: see DoubleConv.__call__
         from cl_tpu.pallas import conv3x3_v3 as pc3
         f = self.features
         ones = jnp.ones((1,), jnp.float32)
@@ -642,6 +645,12 @@ class UNet(nn.Module):
     pool_tee: bool = True  # fuse the skip-cotangent add into pool bwd
     act_q: bool = False  # int8 saved-activation storage in the packed
     #                      convs' backward (model.conv_act_store=int8)
+    remat: bool = False  # per-level rematerialization (train.remat):
+    #                      only level-boundary activations stay resident;
+    #                      each level's internals are recomputed in the
+    #                      backward (jax.checkpoint via nn.remat) —
+    #                      trades ~⅓ more FLOPs for ~the level-internal
+    #                      share of activation HBM
     dp_axis: str | None = None  # data-parallel shard_map axis: BN stats
     #                             psum over it (packed AND standard body)
 
@@ -698,16 +707,20 @@ class UNet(nn.Module):
         c = self.base_channels
         P = pc3.pick_pack(c, c)
         b = x.shape[0]
+        Lvl = (nn.remat(PackedLevel, static_argnums=(2,))
+               if self.remat else PackedLevel)
+        DC = (nn.remat(DoubleConv, static_argnums=(2,))
+              if self.remat else DoubleConv)
 
         skips_p = []  # materialized z per level (pool + decoder reuse it)
         for level in range(prefix):
             feats = c * (2 ** level)
             c_in = 3 if level == 0 else feats // 2
             mode = "stem" if level == 0 else "plain"
-            yp, sc, sh = PackedLevel(
+            yp, sc, sh = Lvl(
                 feats, c_in, P, mode=mode, dtype=self.dtype,
                 act_q=self.act_q, dp_axis=self.dp_axis,
-                name=f"enc{level}")(x if level == 0 else xp, train=train)
+                name=f"enc{level}")(x if level == 0 else xp, train)
             with jax.named_scope(f"eltwise{level}"):
                 zp = bn_relu_apply(yp, sc, sh, P)
             with jax.named_scope(f"pool{level}"):
@@ -728,14 +741,14 @@ class UNet(nn.Module):
         xd = xp.reshape(b, h_deep, h_deep, c_deep_in)
         skips_d = []
         for level in range(prefix, self.depth):
-            xd = DoubleConv(c * (2 ** level), norm=self.norm,
-                            dtype=self.dtype, conv_impl="xla", dp_axis=self.dp_axis,
-                            name=f"enc{level}")(xd, train=train)
+            xd = DC(c * (2 ** level), norm=self.norm,
+                    dtype=self.dtype, conv_impl="xla", dp_axis=self.dp_axis,
+                    name=f"enc{level}")(xd, train)
             skips_d.append(xd)
             xd = nn.max_pool(xd, (2, 2), strides=(2, 2))
-        xd = DoubleConv(c * (2 ** self.depth), norm=self.norm,
-                        dtype=self.dtype, conv_impl="xla", dp_axis=self.dp_axis,
-                        name="bottleneck")(xd, train=train)
+        xd = DC(c * (2 ** self.depth), norm=self.norm,
+                dtype=self.dtype, conv_impl="xla", dp_axis=self.dp_axis,
+                name="bottleneck")(xd, train)
         for level in reversed(range(prefix, self.depth)):
             feats = c * (2 ** level)
             xd = nn.ConvTranspose(feats, (2, 2), strides=(2, 2),
@@ -744,9 +757,9 @@ class UNet(nn.Module):
                                   param_dtype=jnp.float32,
                                   name=f"up{level}")(xd)
             xd = jnp.concatenate([skips_d[level - prefix], xd], axis=-1)
-            xd = DoubleConv(feats, norm=self.norm, dtype=self.dtype,
-                            conv_impl="xla", dp_axis=self.dp_axis,
-                            name=f"dec{level}")(xd, train=train)
+            xd = DC(feats, norm=self.norm, dtype=self.dtype,
+                    conv_impl="xla", dp_axis=self.dp_axis,
+                    name=f"dec{level}")(xd, train)
 
         # packed decoder
         dec_sc = dec_sh = None
@@ -764,10 +777,10 @@ class UNet(nn.Module):
                     below_p = bn_relu_apply(xp, dec_sc, dec_sh, P)
             up_p = PackedUp(feats, c_below, (g_out, lanes_out),
                             dtype=self.dtype, name=f"up{level}")(below_p)
-            xp, dec_sc, dec_sh = PackedLevel(
+            xp, dec_sc, dec_sh = Lvl(
                 feats, feats, P, mode="split", dtype=self.dtype,
                 act_q=self.act_q, dp_axis=self.dp_axis,
-                name=f"dec{level}")((skips_p[level], up_p), train=train)
+                name=f"dec{level}")((skips_p[level], up_p), train)
         if keep_packed:
             # raw last-conv output + its deferred BN vectors: the fused
             # head+CE kernel applies relu(xp·scale+shift) in VMEM
@@ -780,17 +793,19 @@ class UNet(nn.Module):
 
     def _standard_body(self, x, *, train):
         c = self.base_channels
+        DC = (nn.remat(DoubleConv, static_argnums=(2,))
+              if self.remat else DoubleConv)
         skips = []
         for level in range(self.depth):
-            x = DoubleConv(c * (2 ** level), norm=self.norm, dtype=self.dtype,
-                           conv_impl=self.conv_impl, dp_axis=self.dp_axis,
-                           name=f"enc{level}")(x, train=train)
+            x = DC(c * (2 ** level), norm=self.norm, dtype=self.dtype,
+                   conv_impl=self.conv_impl, dp_axis=self.dp_axis,
+                   name=f"enc{level}")(x, train)
             skips.append(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
 
-        x = DoubleConv(c * (2 ** self.depth), norm=self.norm, dtype=self.dtype,
-                       conv_impl=self.conv_impl, dp_axis=self.dp_axis,
-                       name="bottleneck")(x, train=train)
+        x = DC(c * (2 ** self.depth), norm=self.norm, dtype=self.dtype,
+               conv_impl=self.conv_impl, dp_axis=self.dp_axis,
+               name="bottleneck")(x, train)
 
         for level in reversed(range(self.depth)):
             feats = c * (2 ** level)
@@ -806,9 +821,9 @@ class UNet(nn.Module):
                                      param_dtype=jnp.float32,
                                      name=f"up{level}")(x)
             x = jnp.concatenate([skips[level], x], axis=-1)
-            x = DoubleConv(feats, norm=self.norm, dtype=self.dtype,
-                           conv_impl=self.conv_impl, dp_axis=self.dp_axis,
-                           name=f"dec{level}")(x, train=train)
+            x = DC(feats, norm=self.norm, dtype=self.dtype,
+                   conv_impl=self.conv_impl, dp_axis=self.dp_axis,
+                   name=f"dec{level}")(x, train)
         return x
 
 

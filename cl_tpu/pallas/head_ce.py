@@ -363,9 +363,18 @@ def _pkcm_prep(features, labels, p, row_target=8192):
     x2 = features.reshape(-1, lanes)                   # [n, L] — free
     n = x2.shape[0]
     tn = _pick_rows(n, target=max(8, row_target // p))
-    lbl = labels.reshape(-1, p).astype(jnp.int32)      # [n, p] (w = g*p+u)
-    lbl = (lbl.reshape(n // tn, tn, p).transpose(0, 2, 1)
-           .reshape(1, n * p))                         # col = u*tn + r
+    # Permute labels to the kernel's u-major column order per tile
+    # (col = u*tn + r) via a flat 1-D gather.  The earlier
+    # reshape(n//tn, tn, p).transpose(0, 2, 1) form materialized an s32
+    # temp with minor dim p — which the (8,128) s32 tiling pads 32× at
+    # p=4 (a 72 MB logical temp became 2.25 GB of HBM and OOM'd
+    # baseline_5 under the 2026-08-21 relay's compile).  Flat index
+    # arithmetic keeps every intermediate 1-D.
+    flat = labels.reshape(-1).astype(jnp.int32)        # [n*p], idx = g*p+u
+    j = jnp.arange(n * p, dtype=jnp.int32)
+    t, rem = j // (tn * p), j % (tn * p)
+    u, r = rem // tn, rem % tn
+    lbl = jnp.take(flat, (t * tn + r) * p + u).reshape(1, n * p)
     return x2, lbl, n, tn
 
 

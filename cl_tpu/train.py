@@ -80,6 +80,7 @@ def build_model(cfg: Config, head_width: int | None = None) -> UNet:
                 upconv_impl=cfg.model.upconv_impl,
                 pool_tee=cfg.model.pool_tee,
                 act_q=(cfg.model.conv_act_store == "int8"),
+                remat=cfg.train.remat,
                 packed=(cfg.model.packed_unet
                         and (cfg.model.packed_min_size == 0
                              or (cfg.data.image_size
@@ -1395,10 +1396,12 @@ def _train_impl(cfg: Config, logger, init_variables=None) -> dict:
         if total_s > 0 and total_steps > 0:
             report["images_per_sec_per_chip"] = float(
                 gb * total_steps / total_s / n_dev)
-    if eval_times:
-        # Exclude the first eval pass when there are several (it carries
-        # the eval program's compile, like the step path's first epoch).
-        rows = eval_times[1:] if len(eval_times) > 1 else eval_times
+    if len(eval_times) > 1:
+        # Exclude the first eval pass — it carries the eval program's
+        # compile, like the step path's first epoch. Single-task runs
+        # (one pass, all compile) report no eval rate rather than a
+        # compile-dominated one.
+        rows = eval_times[1:]
         e_s = sum(t for t, _ in rows)
         e_n = sum(n for _, n in rows)
         n_dev = mesh.devices.size if mesh is not None else 1
