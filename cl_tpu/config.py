@@ -347,8 +347,14 @@ def _preset_baseline_5() -> Config:
         method=MethodConfig(methods=("ewc", "lwf", "replay"),
                             ewc_lambda=3e4,  # 512² sweep — see baseline_3
                             replay_batch=8, replay_device_resident=True),
+        # remat: the big-memory config runs with per-level
+        # rematerialization on (bit-identical, tests/unit/test_remat.py)
+        # — per-chip batch-8 512² activations exceed 16 GB HBM under
+        # the 2026-08-21 relay compiler generation without it
+        # (DESIGN.md §8 round 4c).
         train=TrainConfig(num_tasks=5, epochs_per_task=2,
-                          compute_dtype="bfloat16", data_parallel=True),
+                          compute_dtype="bfloat16", data_parallel=True,
+                          remat=True),
     )
 
 
