@@ -364,17 +364,26 @@ def _pkcm_prep(features, labels, p, row_target=8192):
     n = x2.shape[0]
     tn = _pick_rows(n, target=max(8, row_target // p))
     # Permute labels to the kernel's u-major column order per tile
-    # (col = u*tn + r) via a flat 1-D gather.  The earlier
-    # reshape(n//tn, tn, p).transpose(0, 2, 1) form materialized an s32
-    # temp with minor dim p — which the (8,128) s32 tiling pads 32× at
-    # p=4 (a 72 MB logical temp became 2.25 GB of HBM and OOM'd
-    # baseline_5 under the 2026-08-21 relay's compile).  Flat index
-    # arithmetic keeps every intermediate 1-D.
+    # (col = u*tn + r) with NO gather and NO small-minor-dim temp.  Two
+    # earlier forms both hit relay-compiler pathologies:
+    #   * reshape(n//tn, tn, p).transpose(0, 2, 1) materializes an s32
+    #     temp with minor dim p, which the (8,128) s32 tiling pads 32×
+    #     at p=4 (72 MB logical → 2.25 GB, OOM'd baseline_5 under the
+    #     2026-08-21 relay compile);
+    #   * the flat 1-D jnp.take(flat, (t*tn+r)*p + u) gather compiles on
+    #     that same relay generation to a ~15 ms serial kCustom gather
+    #     in the backward — the whole r4 −26% headline regression
+    #     (attr_b8_512_r5gen.json fusion.4).
+    # Strided 1-D slices (one per packed sub-pixel u) followed by a
+    # major-dim transpose keep every intermediate's minor dim ≥ tn, so
+    # the result is pure vectorized copies on any compiler generation.
     flat = labels.reshape(-1).astype(jnp.int32)        # [n*p], idx = g*p+u
-    j = jnp.arange(n * p, dtype=jnp.int32)
-    t, rem = j // (tn * p), j % (tn * p)
-    u, r = rem // tn, rem % tn
-    lbl = jnp.take(flat, (t * tn + r) * p + u).reshape(1, n * p)
+    if p == 1:
+        return x2, flat.reshape(1, n), n, tn
+    parts = [jax.lax.slice(flat, (u,), (n * p,), (p,)) for u in range(p)]
+    a = jnp.stack(parts)                               # [p, n], minor n
+    a = a.reshape(p, n // tn, tn)                      # minor tn
+    lbl = a.transpose(1, 0, 2).reshape(1, n * p)       # [n//tn, p, tn]
     return x2, lbl, n, tn
 
 
