@@ -140,7 +140,8 @@ def _read_last_verified(metric: str):
         return None
 
 
-def _write_last_verified(metric: str, value: float) -> None:
+def _write_last_verified(metric: str, value: float,
+                         generation: str | None = None) -> None:
     rec = {}
     try:
         with open(LAST_VERIFIED) as f:
@@ -150,6 +151,8 @@ def _write_last_verified(metric: str, value: float) -> None:
     prev = rec.get(metric) or {}
     entry = {"value": value, "rev": _git_rev(),
              "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+    if generation:
+        entry["compile_generation"] = generation
     # Keep a short history: the device relay behind this box has been
     # observed to RESTART with a different compile path mid-round
     # (2026-08-21: the same rev measured 190.7 then 141.5 img/s hours
@@ -157,7 +160,9 @@ def _write_last_verified(metric: str, value: float) -> None:
     # swings from the artifact chain.
     hist = (prev.get("history") or [])[-9:]
     if prev.get("value") is not None:
-        hist = hist + [{k: prev[k] for k in ("value", "rev", "utc")
+        hist = hist + [{k: prev[k]
+                        for k in ("value", "rev", "utc",
+                                  "compile_generation", "note")
                         if k in prev}]
     entry["history"] = hist
     rec[metric] = entry
@@ -440,12 +445,22 @@ def main() -> int:
         }))
         return 1
 
-    _write_last_verified(metric, round(value, 2))
+    # Generation fingerprint + MFU (VERDICT r4 next #7/#9): the canary
+    # compile identifies the relay's compile service; MFU is analytic
+    # model FLOPs (benchmarks/flops.py) against the v5e bf16 peak.
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from benchmarks.flops import mfu, unet_train_flops_per_image
+    from benchmarks.genid import compile_generation
+    gen = compile_generation()
+    flops_img = unet_train_flops_per_image(BASE_CH, img, CLASSES)
+    _write_last_verified(metric, round(value, 2), generation=gen["id"])
     print(json.dumps({
         "metric": metric,
         "value": round(value, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(value / baseline, 2),
+        "mfu": round(mfu(value, flops_img), 4),
+        "compile_generation": gen,
     }))
     return 0
 

@@ -41,16 +41,17 @@ def decode_only_rate(cfg, n_batches: int = 24) -> dict:
 
     ds, _ = pipeline.make_datasets(cfg, 0)
     bs = cfg.data.batch_size
-    idx = np.arange(len(ds))
-    # warm the page cache / thread pool with one batch
-    ds.get_batch(idx[:bs])
+    # Modular batch indexing: a slice crossing the dataset end wraps to
+    # FRESH rows instead of replaying idx[:bs] (which the warmup below
+    # already decoded — the replay inflated the ceiling with page-cache /
+    # PIL-warm re-reads, ADVICE r4 #2). The warmup batch uses rows the
+    # counted window never revisits while n_batches*bs < len(ds).
+    start = (n_batches * bs) % len(ds)
+    ds.get_batch((start + np.arange(bs)) % len(ds))  # warm cache/pool
     t0 = time.perf_counter()
     n = 0
     for i in range(n_batches):
-        rows = idx[(i * bs) % len(ds):(i * bs) % len(ds) + bs]
-        if len(rows) < bs:
-            rows = idx[:bs]
-        ds.get_batch(rows)
+        ds.get_batch(np.arange(i * bs, (i + 1) * bs) % len(ds))
         n += bs
     dt = time.perf_counter() - t0
     return {"images_per_sec": round(n / dt, 2), "batches": n_batches,

@@ -37,7 +37,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 VARIANTS: dict[str, list[str]] = {
     "bf16": ["train.compute_dtype=bfloat16"],
     # int8 saved-activation storage in the packed conv backward (r4): the
-    # forward epilogue quantizes the saved activations per-channel int8;
+    # forward epilogue quantizes the saved activations symmetric int8
+    # with per-row scales (per image row x lane — conv3x3_v3._quant_rows);
     # dx/dW dequantize in-register. bf16 compute + int8 storage is the
     # production combination the headline benchmark would ship.
     "bf16_int8act": ["train.compute_dtype=bfloat16",

@@ -110,6 +110,17 @@ def run_config(name: str, *, quick: bool, with_torch: bool,
         "eval_images_per_sec_per_chip": report.get(
             "eval_images_per_sec_per_chip"),
     }
+    # MFU: analytic model FLOPs (benchmarks/flops.py) against the v5e
+    # bf16 peak; the dtype column lets readers discount f32 rungs.
+    from benchmarks.flops import mfu, unet_train_flops_per_image
+    rate = out["images_per_sec_per_chip"]
+    if rate:
+        fpi = unet_train_flops_per_image(
+            cfg.model.base_channels, cfg.data.image_size,
+            cfg.data.num_classes, depth=cfg.model.depth)
+        out["train_flops_per_image"] = fpi
+        out["mfu"] = round(mfu(rate, fpi), 4)
+        out["compute_dtype"] = cfg.train.compute_dtype
     if with_torch:
         torch_train = _torch_mods()[2]
         t0 = time.perf_counter()
@@ -158,6 +169,12 @@ def main() -> int:
     _TRANSIENT = ("FAILED_PRECONDITION", "UNAVAILABLE",
                   "DEADLINE_EXCEEDED", "INTERNAL")
 
+    # One canary compile identifies the relay's compile-service
+    # generation for every row of this ladder run (VERDICT r4 next #9).
+    from benchmarks.genid import compile_generation
+    gen = compile_generation()
+    print(f"== compile generation {gen} ==", file=sys.stderr)
+
     results = []
     blob = "[]"
     for c in args.configs.split(","):
@@ -178,6 +195,7 @@ def main() -> int:
                              with_torch=args.torch,
                              overrides=args.overrides)
         results.append(row)
+        results[-1]["compile_generation"] = gen["id"]
         if rev:
             results[-1]["git_rev"] = rev
         if args.overrides:
