@@ -72,7 +72,20 @@ def compile_generation() -> dict:
         txt = _canary_compiled_text()
     except Exception as e:  # pragma: no cover - relay-dependent
         return {"id": f"error:{type(e).__name__}", "compile_s": None}
+    canon = _canonical(txt)
+    gid = hashlib.sha256(canon.encode()).hexdigest()[:12]
+    # Forensic capture: ids have been observed to FLIP between runs
+    # minutes apart (r5, during heavy relay use) — keep each distinct
+    # canonical text on disk so a flip can be diffed, not just noticed.
+    try:
+        path = f"/tmp/cl_tpu_canary_{gid}.txt"
+        import os
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                f.write(canon)
+    except OSError:
+        pass
     return {
-        "id": hashlib.sha256(_canonical(txt).encode()).hexdigest()[:12],
+        "id": gid,
         "compile_s": round(time.perf_counter() - t0, 2),
     }

@@ -71,6 +71,20 @@ _VMEM_BUDGET_FUSED = int(_os.environ.get(
 # footprint.  Kept as a tested opt-in (DESIGN.md §8).
 _FUSE_BWD = _os.environ.get("CL_TPU_FUSE_BWD", "0") == "1"
 _ROW_TARGET = int(_os.environ.get("CL_TPU_ROW_TARGET", 8192))
+# Cross-tile software pipeline in the dx backward kernels (r5): the
+# grid gains one drain step; at step i the kernel issues tile i-1's
+# window DOTS (MXU) first and only then forms tile i's dy_eff (VPU), so
+# the vector work of each tile would overlap the matrix work of the
+# previous one instead of serializing wait→VPU→dots per tile (the r4
+# hypothesis — DESIGN.md §8 round 4b).  MEASURED NEGATIVE (r5):
+# per-call at the enc0 shape 0.708 → 1.018 ms (same th=16; a raised
+# VMEM budget doesn't recover it) and −1.6% headline — because the
+# baseline kernel ALREADY streams at ~758 GB/s effective (ABOVE the
+# 635 GB/s copy-micro ceiling; its four HBM streams overlap), so there
+# was no serialization gap to hide, and the restructure's predicated
+# phases cost more than they overlap.  Kept as a tested opt-in
+# (bit-identical: benchmarks/dx_pipe_micro.py, DESIGN.md §8 round 5).
+_DX_PIPE = _os.environ.get("CL_TPU_DX_PIPE", "0") == "1"
 # Dot schedule (MFU push, r3): 1 (default) = the three center window
 # pieces lane-concatenated in-register and contracted in ONE
 # [rows, 3·lanes]@[3·lanes, out] dot — Mosaic issues back-to-back
@@ -964,12 +978,13 @@ conv_bn_fused.defvjp(_cbf_fwd, _cbf_bwd)
 
 def _vmem_estimate_dx(th, wg, lanes, k, out_lanes, itemsize,
                       epilogue) -> int:
-    """Scoped-VMEM accounting for one dx grid step: TWO double-buffered
-    halo scratches (dy, y), the f32 dy_eff temp, weight/out blocks,
-    pieces, the f32 conv accumulator, and the epilogue's xp block and
-    f32 temps."""
+    """Scoped-VMEM accounting for one dx grid step: the halo scratches
+    (dy: two slots, or three under _DX_PIPE; y: two), the f32 dy_eff
+    temp, weight/out blocks, pieces, the f32 conv accumulator, and the
+    epilogue's xp block and f32 temps."""
     rows = th * wg
-    est = (2 * 2 * (th + 4) * wg * lanes * itemsize  # dy + y scratches
+    dy_slots = 3 if _DX_PIPE else 2
+    est = ((dy_slots + 2) * (th + 4) * wg * lanes * itemsize  # dy + y
            + (th + 4) * wg * lanes * 4               # f32 e temp
            + 2 * 3 * k * out_lanes * itemsize        # W' block
            + 2 * th * wg * out_lanes * itemsize      # dx out block
@@ -1020,13 +1035,16 @@ def _pick_th_dx(h, wg, lanes, k, out_lanes, itemsize, epilogue) -> int:
     return 0
 
 
-def _dy_eff_tile(sdy, syv, slot, s1_ref, s2_ref, dtype):
+def _dy_eff_tile(sdy, syv, slot, s1_ref, s2_ref, dtype, sloty=None):
     """e = dy + ds1 + 2·y·ds2 on the whole scratch tile (halo rows
     included — e is positionwise, so real neighbour rows transform
-    correctly and out-of-image rows are zeroed afterwards)."""
+    correctly and out-of-image rows are zeroed afterwards).  ``sloty``
+    indexes the y scratch when its slot count differs from sdy's (the
+    pipelined kernel: 3 dy slots, 2 y slots)."""
     ew = _ew_dtype(dtype)
+    ys = syv[slot if sloty is None else sloty]
     e = (sdy[slot].astype(ew) + s1_ref[:][0].astype(ew)
-         + jnp.asarray(2.0, ew) * syv[slot].astype(ew)
+         + jnp.asarray(2.0, ew) * ys.astype(ew)
          * s2_ref[:][0].astype(ew))
     sdy[slot] = e.astype(dtype)
 
@@ -1079,6 +1097,89 @@ def _dx_slim_kernel(dy_hbm, y_hbm, w_ref, s1_ref, s2_ref, dx_ref, sdy,
     dx_ref[0] = acc.reshape(th, wg, out_lanes).astype(dx_ref.dtype)
 
 
+def _dx_pipe_body(dy_hbm, y_hbm, w_ref, s1_ref, s2_ref, dx_ref, sdy, syv,
+                  semd, semy, epi, *, nh, th, wg, lanes, k, c_in):
+    """Cross-tile software-pipelined dx body (r5, _DX_PIPE).
+
+    Grid = n_tiles + 1.  Step i issues tile i-1's window dots FIRST
+    (the MXU starts from the e formed last step), then forms tile i's
+    dy_eff (VPU) while the MXU drains, then runs tile i-1's epilogue
+    (which consumes the dot accumulator).  sdy has THREE slots — DMA
+    target (i+1), forming (i), being-dotted (i-1); y keeps two (only
+    read during formation).  Step 0 dots a garbage slot and discards
+    the result (no epilogue/write); step n_tiles only drains.
+    ``epi`` = None (slim: level-entry convs) or
+    (x_ref, a_ref, b_ref, ds_ref, acc2) for the BN·ReLU prologue
+    backward epilogue."""
+    i = pl.program_id(0)
+    n_tiles = pl.num_programs(0) - 1
+
+    @pl.when(i == 0)
+    def _():
+        _start_dma(dy_hbm, sdy, semd, 0, 0, nh=nh, th=th)
+        _start_dma(y_hbm, syv, semy, 0, 0, nh=nh, th=th)
+        if epi is not None:
+            epi[4][:] = jnp.zeros_like(epi[4])
+
+    @pl.when(i + 1 < n_tiles)
+    def _():
+        _start_dma(dy_hbm, sdy, semd, (i + 1) % 3, i + 1, nh=nh, th=th)
+        _start_dma(y_hbm, syv, semy, (i + 1) % 2, i + 1, nh=nh, th=th)
+
+    # Tile i-1's dots, issued unconditionally (garbage operand at i==0,
+    # result discarded) so the matrix units are busy before any of this
+    # step's vector work begins.
+    jslot = (i + 2) % 3  # == (i - 1) % 3 without going negative
+    vflat = sdy[jslot].reshape((th + 4) * wg, lanes)
+    acc = _conv_dots(vflat, w_ref, th=th, wg=wg, lanes=lanes, k=k,
+                     c_in=c_in, dtype=dy_hbm.dtype)
+
+    @pl.when(i < n_tiles)
+    def _():
+        slot = i % 3
+        _wait_variant(dy_hbm, sdy, semd, slot, i, nh=nh, th=th)
+        _wait_variant(y_hbm, syv, semy, i % 2, i, nh=nh, th=th)
+        _dy_eff_tile(sdy, syv, slot, s1_ref, s2_ref, dy_hbm.dtype,
+                     sloty=i % 2)
+        _zero_halo_rows(sdy, slot, nh=nh, th=th)
+
+    out_lanes = dx_ref.shape[-1]
+
+    @pl.when(i > 0)
+    def _():
+        if epi is None:
+            dx_ref[0] = acc.reshape(th, wg, out_lanes).astype(dx_ref.dtype)
+        else:
+            x_ref, a_ref, b_ref, ds_ref, acc2 = epi
+            xb = x_ref[0].reshape(th * wg, out_lanes).astype(jnp.float32)
+            uu = xb * a_ref[:][0] + b_ref[:][0]
+            du = jnp.where(uu > 0, acc, 0.0)
+            dx_ref[0] = (du * a_ref[:][0]).reshape(
+                th, wg, out_lanes).astype(dx_ref.dtype)
+            acc2[0:1] += jnp.sum(du * xb, axis=0, keepdims=True)
+            acc2[1:2] += jnp.sum(du, axis=0, keepdims=True)
+
+            @pl.when(i == n_tiles)
+            def _():
+                ds_ref[:] = acc2[:]
+
+
+def _dx_pipe_bn_kernel(dy_hbm, y_hbm, x_ref, w_ref, s1_ref, s2_ref,
+                       a_ref, b_ref, dx_ref, ds_ref, sdy, syv, semd,
+                       semy, acc2, *, nh, th, wg, lanes, k, c_in):
+    _dx_pipe_body(dy_hbm, y_hbm, w_ref, s1_ref, s2_ref, dx_ref, sdy,
+                  syv, semd, semy, (x_ref, a_ref, b_ref, ds_ref, acc2),
+                  nh=nh, th=th, wg=wg, lanes=lanes, k=k, c_in=c_in)
+
+
+def _dx_pipe_slim_kernel(dy_hbm, y_hbm, w_ref, s1_ref, s2_ref, dx_ref,
+                         sdy, syv, semd, semy, *, nh, th, wg, lanes, k,
+                         c_in):
+    _dx_pipe_body(dy_hbm, y_hbm, w_ref, s1_ref, s2_ref, dx_ref, sdy,
+                  syv, semd, semy, None, nh=nh, th=th, wg=wg,
+                  lanes=lanes, k=k, c_in=c_in)
+
+
 def _dx_bn_impl(dy, y, xp, w_dx, ds1, ds2, a_l, b_l, p, prologue):
     """dxp (and da_l/db_l when ``prologue``) from the packed cotangent:
     the dx conv of e = dy+ds1+2y·ds2 with the flipped kernel, with the
@@ -1093,17 +1194,33 @@ def _dx_bn_impl(dy, y, xp, w_dx, ds1, ds2, a_l, b_l, p, prologue):
     assert th > 0, "dx geometry must fit whenever the forward did"
     nh = h // th
     wp = _pack_weights_v3(w_dx, p)
+    # The pipelined variant (r5 default, _DX_PIPE) runs one extra drain
+    # step and lags the tile-block index maps by one; interpret mode
+    # always takes the reference two-phase kernel (the pipeline's value
+    # is hardware scheduling; its garbage-operand warmup step would
+    # trip interpret-mode NaN checks).
+    pipe = _DX_PIPE and not common.interpret_mode()
+    n_tiles = b * nh
+    grid = (n_tiles + 1,) if pipe else (n_tiles,)
+
+    def lag(i):
+        return jnp.maximum(i - 1, 0) if pipe else i
+
     scratch_shapes = [
+        pltpu.VMEM((3 if pipe else 2, th + 4, wg, lanes), dy.dtype),
         pltpu.VMEM((2, th + 4, wg, lanes), dy.dtype),
-        pltpu.VMEM((2, th + 4, wg, lanes), dy.dtype),
-        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((3 if pipe else 2,)),
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if not prologue:
+        kern = (functools.partial(_dx_pipe_slim_kernel, nh=nh, th=th,
+                                  wg=wg, lanes=lanes, k=k, c_in=c_in)
+                if pipe else
+                functools.partial(_dx_slim_kernel, nh=nh, th=th, wg=wg,
+                                  lanes=lanes, k=k, c_in=c_in))
         dxp = pl.pallas_call(
-            functools.partial(_dx_slim_kernel, nh=nh, th=th, wg=wg,
-                              lanes=lanes, k=k, c_in=c_in),
-            grid=(b * nh,),
+            kern,
+            grid=grid,
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -1112,8 +1229,8 @@ def _dx_bn_impl(dy, y, xp, w_dx, ds1, ds2, a_l, b_l, p, prologue):
                 pl.BlockSpec((1, lanes), lambda i: (0, 0)),
             ],
             out_specs=pl.BlockSpec((1, th, wg, out_lanes),
-                                   lambda i: (i, 0, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct((b * nh, th, wg, out_lanes),
+                                   lambda i: (lag(i), 0, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((n_tiles, th, wg, out_lanes),
                                            xp.dtype),
             scratch_shapes=scratch_shapes,
             interpret=common.interpret_mode(),
@@ -1122,15 +1239,19 @@ def _dx_bn_impl(dy, y, xp, w_dx, ds1, ds2, a_l, b_l, p, prologue):
         zeros = jnp.zeros((out_lanes,), jnp.float32)
         return dxp.reshape(b, h, wg, out_lanes), zeros, zeros
     xb = xp.reshape(b * nh, th, wg, out_lanes)
-    kern = functools.partial(_dx_bn_kernel, nh=nh, th=th, wg=wg,
-                             lanes=lanes, k=k, c_in=c_in, epilogue=True)
+    kern = (functools.partial(_dx_pipe_bn_kernel, nh=nh, th=th, wg=wg,
+                              lanes=lanes, k=k, c_in=c_in)
+            if pipe else
+            functools.partial(_dx_bn_kernel, nh=nh, th=th, wg=wg,
+                              lanes=lanes, k=k, c_in=c_in, epilogue=True))
     dxp, ds = pl.pallas_call(
         kern,
-        grid=(b * nh,),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),              # dy
             pl.BlockSpec(memory_space=pl.ANY),              # y
-            pl.BlockSpec((1, th, wg, out_lanes), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, th, wg, out_lanes),
+                         lambda i: (lag(i), 0, 0, 0)),
             pl.BlockSpec((3 * k, out_lanes), lambda i: (0, 0)),
             pl.BlockSpec((1, lanes), lambda i: (0, 0)),     # ds1
             pl.BlockSpec((1, lanes), lambda i: (0, 0)),     # ds2
@@ -1138,9 +1259,9 @@ def _dx_bn_impl(dy, y, xp, w_dx, ds1, ds2, a_l, b_l, p, prologue):
             pl.BlockSpec((1, out_lanes), lambda i: (0, 0)),  # b_l
         ],
         out_specs=(pl.BlockSpec((1, th, wg, out_lanes),
-                                lambda i: (i, 0, 0, 0)),
+                                lambda i: (lag(i), 0, 0, 0)),
                    pl.BlockSpec((2, out_lanes), lambda i: (0, 0))),
-        out_shape=(jax.ShapeDtypeStruct((b * nh, th, wg, out_lanes),
+        out_shape=(jax.ShapeDtypeStruct((n_tiles, th, wg, out_lanes),
                                         xp.dtype),
                    jax.ShapeDtypeStruct((2, out_lanes), jnp.float32)),
         scratch_shapes=scratch_shapes + [
