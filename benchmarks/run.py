@@ -109,6 +109,7 @@ def run_config(name: str, *, quick: bool, with_torch: bool,
         "images_per_sec_per_chip": report.get("images_per_sec_per_chip"),
         "eval_images_per_sec_per_chip": report.get(
             "eval_images_per_sec_per_chip"),
+        "eval_overhead_seconds": report.get("eval_overhead_seconds"),
     }
     # MFU: analytic model FLOPs (benchmarks/flops.py) against the v5e
     # bf16 peak; the dtype column lets readers discount f32 rungs.
