@@ -38,6 +38,12 @@ def _canonical(txt: str) -> str:
         if re.match(r"^\d+ \{(file_name_id|file_location_id|"
                     r"function_name_id|line)[=_]", s):
             continue
+        # stack-frame string tables: `3 "/path/to/caller.py"` /
+        # `2 "main"` — the CALLER's file name otherwise leaks into the
+        # hash (observed: bench.py vs run.py produced different "ids"
+        # for the same compile service).
+        if re.match(r'^\d+ "[^"]*"$', s):
+            continue
         keep.append(line)
     return "\n".join(keep)
 

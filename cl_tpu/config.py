@@ -45,6 +45,13 @@ class DataConfig:
     # False = one fused dispatch per step (debuggability). Result-identical
     # (tested: tests/unit/test_device_cache.py).
     epoch_scan: bool = True
+    # With device_cache: drop every task's HBM val cache after the
+    # task-boundary eval sweep instead of keeping all seen tasks' caches
+    # resident forever. Training then runs with ZERO val bytes in HBM
+    # (they accreted ~60-130 MB/task at 512² — VERDICT r4 #3) at the
+    # cost of a per-boundary host re-decode, which the eval-rate metric
+    # already excludes (eval_overhead_seconds.cache_build).
+    val_cache_evict: bool = True
 
 
 @dataclasses.dataclass(frozen=True)

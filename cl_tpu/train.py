@@ -959,6 +959,42 @@ def _inject_variables(cfg: Config, state: TrainState, tx,
                          opt_state=tx.init(params), ewc=ewc, lwf=lwf)
 
 
+def _live_set_mb(state: TrainState, caches: dict, rep_arrays: dict) -> dict:
+    """MB of every long-lived device buffer, keyed by subsystem — the
+    task-boundary HBM live-set log (VERDICT r4 #3).  Covers the train
+    state (params/optimizer/BN stats), method state (EWC θ*/F, LwF
+    teacher), the HBM dataset caches (train + any resident val), and the
+    device replay arrays.  Step/compile temps are XLA's and are not
+    enumerable here — this is the persistent baseline they stack on."""
+    def mb(tree) -> float:
+        return sum(a.nbytes for a in jax.tree.leaves(tree)
+                   if hasattr(a, "nbytes")) / 1e6
+
+    out = {
+        "params_mb": mb(state.params),
+        "opt_state_mb": mb(state.opt_state),
+        "model_state_mb": mb(state.model_state),
+        "ewc_mb": mb(state.ewc),
+        "lwf_teacher_mb": mb(state.lwf),
+    }
+    train_mb = val_mb = 0.0
+    n_val = 0
+    for key, c in caches.items():
+        sz = mb((c.images, c.masks))
+        if isinstance(key, tuple):
+            val_mb += sz
+            n_val += 1
+        else:
+            train_mb += sz
+    out["train_cache_mb"] = train_mb
+    out["val_caches_mb"] = val_mb
+    out["val_caches_n"] = n_val
+    out["replay_arrays_mb"] = sum(mb(v) for v in rep_arrays.values())
+    out["total_mb"] = sum(v for k, v in out.items() if k.endswith("_mb"))
+    return {k: (round(v, 1) if isinstance(v, float) else v)
+            for k, v in out.items()}
+
+
 def train(cfg: Config, init_variables=None) -> dict:
     """The public train API (SURVEY.md §1 L4: ``train(cfg) -> results``).
 
@@ -1395,6 +1431,21 @@ def _train_impl(cfg: Config, logger, init_variables=None) -> dict:
             per_task = max(1, cfg.method.replay_capacity // T)
             replay.add_examples(train_ds, per_task, task_id=task_id)
         caches.pop(task_id, None)  # free the finished task's HBM train cache
+
+        if cfg.data.val_cache_evict:
+            # Free all val caches after the boundary eval sweep: training
+            # the next task then carries zero val bytes in HBM; each
+            # cache is lazily re-decoded at the next boundary (the build
+            # lands in eval_overhead_seconds, not the eval rate).
+            for vk in [c for c in caches if isinstance(c, tuple)]:
+                caches.pop(vk)
+
+        # Device-resident live-set accounting (VERDICT r4 #3; SURVEY §7
+        # "replay buffer residency"/"EWC at scale"): enumerate every
+        # long-lived HBM buffer at the task boundary so inter-task
+        # accretion is a logged number, not a forensic exercise.
+        logger.log(event="hbm_live_set", task=task_id,
+                   **_live_set_mb(state, caches, rep_arrays))
 
         if cfg.train.checkpoint_dir:
             ckpt_lib.save_task(cfg, state, replay, task_id, miou_matrix)
