@@ -334,6 +334,27 @@ def make_train_step(cfg: Config, model: UNet, tx,
                 in_specs=(P(sharding.DATA_AXIS), P(sharding.DATA_AXIS),
                           P(), P(sharding.DATA_AXIS)),
                 out_specs=P(), check_vma=False)
+    # EWC's fused penalty kernel runs on REPLICATED operands (params,
+    # θ*/F) — semantically nothing reshards, but a bare pallas_call has
+    # no SPMD partitioning rule, so a multi-device program must still
+    # route it through an all-replicated shard_map (found by the r5
+    # v5e-8 topology AOT compile, benchmarks/v5e8_projection.py; the
+    # 8-device CPU dryrun never caught it because interpret mode turns
+    # pallas into partitionable jnp).
+    ewc_penalty_fn = None
+    if use_ewc and use_pallas:
+        from cl_tpu.pallas import ewc_fused
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            ewc_penalty_fn = jax.shard_map(
+                lambda prm, st: ewc_fused.penalty(prm, st,
+                                                  mode=m.ewc_mode),
+                mesh=mesh, in_specs=(P(), P()), out_specs=P(),
+                check_vma=False)
+        else:
+            ewc_penalty_fn = lambda prm, st: ewc_fused.penalty(  # noqa: E731
+                prm, st, mode=m.ewc_mode)
     # Augment is gated separately: the jnp einsum resize outruns the
     # per-(image,channel) pallas programs (see TrainConfig.pallas_augment).
     use_pallas_aug = use_pallas_batch and cfg.train.pallas_augment
@@ -385,10 +406,8 @@ def make_train_step(cfg: Config, model: UNet, tx,
             total = ce
             aux = {"ce": ce, "n_pix": n_pix}
             if use_ewc:
-                if use_pallas:
-                    from cl_tpu.pallas import ewc_fused
-                    pen = ewc_fused.penalty(params, state.ewc,
-                                            mode=m.ewc_mode)
+                if ewc_penalty_fn is not None:
+                    pen = ewc_penalty_fn(params, state.ewc)
                 else:
                     pen = ewc_lib.penalty(params, state.ewc,
                                           mode=m.ewc_mode)
@@ -759,18 +778,31 @@ def make_fisher_step(cfg: Config, model: UNet, mesh=None,
     use_pallas = cfg.train.use_pallas and spatial_mesh is None
     fwd_apply = _pick_fwd_apply(cfg, model, mesh, spatial_mesh)
 
+    sq_acc_fn = None
+    if use_pallas:
+        from cl_tpu.pallas import ewc_fused
+        if mesh is not None:
+            # Replicated-operand pallas kernel under a multi-device
+            # program: must go through shard_map (same topology-compile
+            # finding as the penalty kernel in make_train_step).
+            from jax.sharding import PartitionSpec as P
+            sq_acc_fn = jax.shard_map(
+                ewc_fused.sq_accumulate, mesh=mesh,
+                in_specs=(P(), P()), out_specs=P(), check_vma=False)
+        else:
+            sq_acc_fn = ewc_fused.sq_accumulate
+
     def step(fisher_acc, params, model_state, batch, valid_classes, rng):
         x, y = _augment(batch, d, _dtype(cfg),
                         use_pallas and mesh is None
                         and cfg.train.pallas_augment)
         if use_pallas:
-            from cl_tpu.pallas import ewc_fused
             grads = ewc_lib.fisher_batch_grads(
                 fwd_apply, params, model_state, x, y, valid_classes,
                 kind=m.ewc_fisher_kind, rng=rng,
                 ignore_index=d.ignore_index, square=False)
             # fused acc += g² (SURVEY.md §2.2 "ewc_fused")
-            return ewc_fused.sq_accumulate(fisher_acc, grads)
+            return sq_acc_fn(fisher_acc, grads)
         sq = ewc_lib.fisher_batch_grads(
             fwd_apply, params, model_state, x, y, valid_classes,
             kind=m.ewc_fisher_kind, rng=rng, ignore_index=d.ignore_index)
