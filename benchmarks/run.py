@@ -150,6 +150,12 @@ def main() -> int:
     p.add_argument("--configs", default="1,2,3,4")
     p.add_argument("--quick", action="store_true")
     p.add_argument("--torch", action="store_true")
+    p.add_argument("--disk", action="store_true",
+                   help="append a disk-fed rung: baseline_3 semantics "
+                        "over a real PNG tree (voc_dir layout, generated "
+                        "if absent) through decode->HBM-cache->train — "
+                        "the deployment input path (VERDICT r4 #8)")
+    p.add_argument("--disk-dir", default="/tmp/cl_tpu_png_tree")
     p.add_argument("--out", default="")
     p.add_argument("overrides", nargs="*",
                    help="extra section.key=value overrides applied on top "
@@ -176,15 +182,36 @@ def main() -> int:
     gen = compile_generation()
     print(f"== compile generation {gen} ==", file=sys.stderr)
 
+    # (display name, preset, extra overrides) per rung; --disk appends
+    # the deployment input path as an official ladder rung.
+    rungs = [(f"baseline_{c.strip()}", f"baseline_{c.strip()}", [])
+             for c in args.configs.split(",")]
+    if args.disk:
+        img_dir = os.path.join(args.disk_dir, "images")
+        if not os.path.isdir(img_dir):
+            print(f"== generating PNG tree at {args.disk_dir} ==",
+                  file=sys.stderr)
+            import subprocess
+            subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "gen_png_tree.py"),
+                 "--out", args.disk_dir, "--train", "1024", "--val",
+                 "128", "--size", "576", "--classes", "19"], check=True)
+        rungs.append(("baseline_3_disk", "baseline_3", [
+            "data.dataset=voc_dir", f"data.data_dir={args.disk_dir}",
+            "data.train_images_per_task=512",
+            "data.val_images_per_task=64", "data.device_cache=true"]))
+
     results = []
     blob = "[]"
-    for c in args.configs.split(","):
-        name = f"baseline_{c.strip()}"
+    for name, preset, extra in rungs:
         print(f"== {name} ==", file=sys.stderr)
+        over = extra + list(args.overrides)
         try:
-            row = run_config(name, quick=args.quick,
+            row = run_config(preset, quick=args.quick,
                              with_torch=args.torch,
-                             overrides=args.overrides)
+                             overrides=over)
         except Exception as e:
             if not any(s in str(e) for s in _TRANSIENT) \
                     or "Ran out of memory" in str(e):
@@ -192,15 +219,16 @@ def main() -> int:
             print(f"== {name} transient failure ({type(e).__name__}); "
                   "retrying once ==", file=sys.stderr)
             time.sleep(10)
-            row = run_config(name, quick=args.quick,
+            row = run_config(preset, quick=args.quick,
                              with_torch=args.torch,
-                             overrides=args.overrides)
+                             overrides=over)
+        row["config"] = name
         results.append(row)
         results[-1]["compile_generation"] = gen["id"]
         if rev:
             results[-1]["git_rev"] = rev
-        if args.overrides:
-            results[-1]["overrides"] = args.overrides
+        if over:
+            results[-1]["overrides"] = over
         print(json.dumps(results[-1], default=float), file=sys.stderr)
         # Flush after every rung: a crash on a later config (e.g. an HBM
         # OOM at a bigger shape) must not lose the finished rows.
