@@ -185,7 +185,7 @@ def main() -> int:
     # (display name, preset, extra overrides) per rung; --disk appends
     # the deployment input path as an official ladder rung.
     rungs = [(f"baseline_{c.strip()}", f"baseline_{c.strip()}", [])
-             for c in args.configs.split(",")]
+             for c in args.configs.split(",") if c.strip()]
     if args.disk:
         img_dir = os.path.join(args.disk_dir, "images")
         if not os.path.isdir(img_dir):

@@ -32,7 +32,8 @@ from cl_tpu.data import tasks as task_lib
 
 class DirectorySegDataset:
     def __init__(self, *, data_dir: str, split: str, source_size: int,
-                 task_classes: list[int], remap: bool = True):
+                 task_classes: list[int], remap: bool = True,
+                 max_items: int = 0):
         img_dir = os.path.join(data_dir, "images", split)
         mask_dir = os.path.join(data_dir, "masks", split)
         if not os.path.isdir(img_dir):
@@ -54,6 +55,16 @@ class DirectorySegDataset:
         if task_classes:
             self.items = [it for it in self.items
                           if self._contains_task_class(it[1])]
+        # Deterministic per-task cap (cfg.data.{train,val}_images_per_task):
+        # the first N of the sorted, filtered list.  Beyond matching the
+        # synthetic configs' semantics, a FIXED size keeps the HBM-cache
+        # epoch-scan program's shapes identical across tasks — without it
+        # each task's filtered count differs and every task recompiles
+        # the scan (measured: the r5 disk rung reported 46 img/s instead
+        # of its real ~122 because a 35 s task-1 recompile landed in a
+        # steady-state epoch).
+        if max_items and len(self.items) > max_items:
+            self.items = self.items[:max_items]
 
     def _load_mask(self, path: str) -> np.ndarray:
         if path.endswith(".npy"):
@@ -117,7 +128,8 @@ class DirectorySegDataset:
 def make_datasets(cfg: Config, task_id: int):
     splits = cfg.classes_per_task
     d = cfg.data
-    mk = lambda split: DirectorySegDataset(
+    mk = lambda split, cap: DirectorySegDataset(
         data_dir=d.data_dir, split=split, source_size=d.source_size,
-        task_classes=splits[task_id])
-    return mk("train"), mk("val")
+        task_classes=splits[task_id], max_items=cap)
+    return (mk("train", d.train_images_per_task),
+            mk("val", d.val_images_per_task))
