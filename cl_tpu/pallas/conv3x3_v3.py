@@ -54,9 +54,12 @@ import os as _os
 # r3 sweep on the 512² headline: 12 MB (r2 default) 188.1 img/s,
 # 16 MB 190.7 (+1.3%, two samples; methods step 127.6 → 130.1),
 # 24 MB fails compile (upconv scoped-vmem stack overflows its 16 MB
-# Mosaic limit once conv tiles grow past it).
+# Mosaic limit once conv tiles grow past it).  r5 re-sweep on the
+# current compile generation: 14 MB 190.1, 16 MB 191.3, 20 MB 192.2
+# (two tight samples each) — 20 MB adopted; the tight 8+1 baseline_5
+# compile re-verified at this budget.
 _VMEM_BUDGET = int(_os.environ.get(
-    "CL_TPU_CONV_BUDGET", 16 * 1024 * 1024))  # Mosaic scoped-VMEM stack
+    "CL_TPU_CONV_BUDGET", 20 * 1024 * 1024))  # Mosaic scoped-VMEM stack
 # Raised scoped-VMEM ceiling passed to Mosaic (CompilerParams.
 # vmem_limit_bytes; v5e has 128 MB VMEM/core); None = the 16 MB default.
 # The single-pass fused backward kernel needs it — its budget below.
