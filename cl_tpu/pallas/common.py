@@ -20,6 +20,21 @@ def round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def vmem_cparams(limit: int = 100 * 1024 * 1024) -> dict:
+    """`compiler_params` raising Mosaic's scoped-VMEM stack ceiling
+    above its 16 MB default (v5e has 128 MB VMEM/core).  The conv
+    kernels have always passed this (conv3x3_v3._cparams); the other
+    packed kernels ran at the default — which is what made conv
+    budgets >20 MB fail compile: a larger `CL_TPU_CONV_BUDGET` shifts
+    the deepest level's packing, and the upconv fwd kernel's
+    VMEM-resident weight block ([2, L_in, L2] bf16 ≈ 16.8 MB at the
+    512² deepest level) then overflows the DEFAULT stack even though
+    the chip has headroom.  Interpret mode (CPU tests) ignores it."""
+    from jax.experimental.pallas import tpu as pltpu
+    return {"compiler_params": pltpu.CompilerParams(
+        vmem_limit_bytes=limit)}
+
+
 def dot_precision(dtype):
     """Precision for dots whose contract is EXACT routing/summation of
     the operand bits. TPU default matmul precision truncates f32

@@ -58,6 +58,15 @@ import os as _os
 # current compile generation: 14 MB 190.1, 16 MB 191.3, 20 MB 192.2
 # (two tight samples each) — 20 MB adopted; the tight 8+1 baseline_5
 # compile re-verified at this budget.
+# r5d: the >20 MB compile failure was the budget acting as a PACKING-
+# EXTENT knob — `supported()` gates on _pick_th(_VMEM_BUDGET), so a
+# larger budget newly admits the deepest level into the packed domain,
+# whose upconv weight block ([2, 2048, 2048] bf16 ≈ 16.8 MB) then
+# overflowed upconv's DEFAULT Mosaic stack.  With upconv's ceiling
+# raised (common.vmem_cparams) 22 MB compiles — and measures 168.6
+# img/s: the deepest level loses to XLA's emitter at big tiles, as
+# the `profitable()` routing always said.  20 MB remains the knee for
+# the RIGHT reason now (geometry, not a crash).
 _VMEM_BUDGET = int(_os.environ.get(
     "CL_TPU_CONV_BUDGET", 20 * 1024 * 1024))  # Mosaic scoped-VMEM stack
 # Raised scoped-VMEM ceiling passed to Mosaic (CompilerParams.

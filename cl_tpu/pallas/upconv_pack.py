@@ -162,6 +162,7 @@ def _fwd_impl(xp, wp, bias_l, dims):
         out_shape=jax.ShapeDtypeStruct((b * nh, 2 * th, g_out, lanes_out),
                                        xp.dtype),
         interpret=common.interpret_mode(),
+        **common.vmem_cparams(),
     )(xp.reshape(b * nh, th, g_in, lanes_in), wp,
       bias_l.reshape(1, -1).astype(jnp.float32))
     return y.reshape(b, 2 * h, g_out, lanes_out)
@@ -194,6 +195,7 @@ def _vjp_bwd(dims, res, dy):
         out_shape=jax.ShapeDtypeStruct((b * nh, th, g_in, lanes_in),
                                        xp.dtype),
         interpret=common.interpret_mode(),
+        **common.vmem_cparams(),
     )(dy4, wp)
     l2 = wp.shape[-1]
     dwp, dbl = pl.pallas_call(
@@ -211,6 +213,7 @@ def _vjp_bwd(dims, res, dy):
         out_shape=(jax.ShapeDtypeStruct((2, lanes_in, l2), jnp.float32),
                    jax.ShapeDtypeStruct((2, l2), jnp.float32)),
         interpret=common.interpret_mode(),
+        **common.vmem_cparams(),
     )(xp.reshape(b * nh, th, g_in, lanes_in), dy4)
     dbias_l = (dbl[0] + dbl[1]).astype(jnp.float32)
     return (dx.reshape(b, h, g_in, lanes_in), dwp.astype(wp.dtype),
